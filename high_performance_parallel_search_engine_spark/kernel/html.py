@@ -1,0 +1,370 @@
+"""HTML-domain semantic kernel: byte-exact text + link extraction.
+
+Behavioural ports of the reference's single-pass HTML state machine:
+
+- html_to_text       -> Serial Version/src/crawler.c:134-437
+- is_useful_content  -> Serial Version/src/crawler.c:110-131
+- extract_title      -> Serial Version/src/crawler.c:749-797
+- extract_links      -> Serial Version/src/crawler.c:685-746 (href scan)
+                        + the stateless parts of process_extracted_url
+                        (crawler.c:561-682)
+
+html_to_text operates on BYTES and returns BYTES - the reference fputc's
+raw bytes into the dataset file, and the per-row invariant is byte-identical
+extracted text. Deliberately preserved quirks:
+
+- `html_len` is the length of the ORIGINAL buffer, measured BEFORE the
+  pointer is advanced to `<article`/`<section class="section-inner`/`<body`
+  (crawler.c:145 vs 154-176). All `i + k < html_len` lookahead guards use
+  this stale length, so near the end of the advanced buffer they pass and the
+  (NUL-terminated) strncmp simply fails - Python slices behave identically.
+- the medium branch inside the loop keys on "medium.com" occurring in the
+  ADVANCED buffer (crawler.c:244), while the article-jump keys on the
+  original buffer (crawler.c:156). They can disagree; both are honored.
+- `<head>` is matched only as the attribute-less exact tag, so `<head lang=..>`
+  content is NOT head-skipped.
+- the block-break rule fires on any tag starting `<p>`, `<br`, `<li`, `<h` -
+  including `<html>`, `<header>`, `<hr>` (crawler.c:320-323).
+- unknown entities are skipped by scanning up to 10 chars for ';'
+  (crawler.c:365-372 / 415-422); otherwise the literal '&' byte is emitted.
+- whitespace collapses to a single ' ' in flowing text; buffered elements
+  (title/heading/paragraph) collapse internal whitespace and cap at 9,999
+  bytes (text_buffer[10000], crawler.c:148,343).
+- no content emitted -> the literal fallback sentence (crawler.c:434-436).
+"""
+
+from __future__ import annotations
+
+from .urls import extract_base_domain, extractor_domain_valid, resolve_url
+
+NO_CONTENT_FALLBACK = b"No readable content could be extracted from this page."
+
+_WS = b" \t\n\v\f\r"  # C isspace set
+_TEXT_BUFFER_CAP = 9999  # sizeof(text_buffer) - 1
+
+
+def _starts_with(h: bytes, i: int, prefix: bytes) -> bool:
+    """strncasecmp-based prefix test (crawler.c:105-107)."""
+    return h[i : i + len(prefix)].lower() == prefix
+
+
+def is_useful_content(text: bytes, length: int) -> bool:
+    """crawler.c:110-131. Counts over the first 200 bytes, ratios over the
+    FULL length (quirk). ASCII classification (C locale)."""
+    if length < 10:
+        return False
+    alpha = 0
+    space = 0
+    for i in range(min(length, 200)):
+        c = text[i]
+        if (65 <= c <= 90) or (97 <= c <= 122):
+            alpha += 1
+        elif c in _WS:
+            space += 1
+    alpha_ratio = alpha / length
+    space_ratio = space / length
+    return alpha_ratio > 0.4 and 0.05 < space_ratio < 0.3
+
+
+def _decode_entity(h: bytes, i: int, html_len: int) -> tuple[bytes | None, int]:
+    """Shared entity logic (crawler.c:345-373 == 394-423). Returns
+    (emitted bytes or None to emit nothing, new value of i). `i` points at
+    '&'; the caller's loop will still do its own i += 1 afterwards, so the
+    returned i mimics the C in-loop `i += k` adjustments."""
+    if h[i : i + 5] == b"&amp;" and i + 5 < html_len:
+        return b"&", i + 4
+    if h[i : i + 4] == b"&lt;" and i + 4 < html_len:
+        return b"<", i + 3
+    if h[i : i + 4] == b"&gt;" and i + 4 < html_len:
+        return b">", i + 3
+    if h[i : i + 6] == b"&quot;" and i + 6 < html_len:
+        return b'"', i + 5
+    if h[i : i + 6] == b"&nbsp;" and i + 6 < html_len:
+        return b" ", i + 5
+    if h[i : i + 6] == b"&#039;" and i + 6 < html_len:
+        return b"'", i + 5
+    # unknown entity: scan ahead up to 10 bytes for ';' (crawler.c:365-372)
+    n = len(h)
+    j = i
+    while j < n and h[j] != 0x3B and j - i < 10:  # ';'
+        j += 1
+    if j < n and h[j] == 0x3B:
+        return None, j  # skip the whole entity
+    return h[i : i + 1], i  # emit the literal '&'
+
+
+def html_to_text(html: bytes) -> bytes:
+    """Byte-exact port of crawler.c:134-437. bytes in, bytes out."""
+    if html is None:
+        html = b""
+    out = bytearray()
+    in_tag = in_script = in_style = in_head = in_comment = False
+    consecutive_spaces = 0
+    content_written = False
+    html_len = len(html)  # measured BEFORE the pointer advance (quirk)
+
+    buf = bytearray()
+    in_title = in_heading = in_paragraph = False
+
+    # medium article jump (crawler.c:154-168), keyed on the ORIGINAL buffer
+    article_found = False
+    if b"medium.com" in html:
+        idx = html.find(b"<article")
+        if idx < 0:
+            idx = html.find(b'<section class="section-inner')
+        if idx >= 0:
+            html = html[idx:]
+            article_found = True
+    if not article_found:
+        b_idx = html.find(b"<body")
+        if b_idx >= 0:
+            html = html[b_idx:]
+
+    h = html
+    n = len(h)
+    loop_medium = b"medium.com" in h  # crawler.c:244, constant per document
+
+    def emit(data: bytes) -> None:
+        nonlocal content_written
+        out.extend(data)
+        content_written = True
+
+    i = 0
+    while i < n:
+        c = h[i]
+        # ---- comments (crawler.c:180-192)
+        if i + 3 < html_len and not in_comment and not in_tag and h[i : i + 4] == b"<!--":
+            in_comment = True
+            i += 4
+            continue
+        if in_comment and i + 2 < html_len and h[i : i + 3] == b"-->":
+            in_comment = False
+            i += 3
+            continue
+        if in_comment:
+            i += 1
+            continue
+
+        # ---- section tags chain (crawler.c:195-303)
+        if not in_tag and i + 6 < html_len and _starts_with(h, i, b"<head>"):
+            in_head = True
+            in_tag = True
+            i += 1
+            continue
+        elif in_head and i + 7 < html_len and _starts_with(h, i, b"</head>"):
+            in_head = False
+            in_tag = True
+            i += 7
+            continue
+        elif not in_tag and i + 8 < html_len and _starts_with(h, i, b"<script"):
+            in_script = True
+            in_tag = True
+            # falls through (no continue in C either)
+        elif not in_tag and i + 7 < html_len and _starts_with(h, i, b"<style"):
+            in_style = True
+            in_tag = True
+        elif in_script and i + 9 < html_len and _starts_with(h, i, b"</script>"):
+            in_script = False
+            i += 9
+            continue
+        elif in_style and i + 8 < html_len and _starts_with(h, i, b"</style>"):
+            in_style = False
+            i += 8
+            continue
+        elif not in_tag and i + 7 < html_len and _starts_with(h, i, b"<title>"):
+            in_title = True
+            buf.clear()
+            i += 7
+            continue
+        elif in_title and i + 8 < html_len and _starts_with(h, i, b"</title>"):
+            in_title = False
+            i += 8
+            if buf:
+                emit(b"\n\n# " + bytes(buf) + b"\n\n")
+            buf.clear()
+            continue
+        elif not in_tag and loop_medium:
+            # medium h1/h2/p handling (crawler.c:243-303)
+            if i + 3 < html_len and _starts_with(h, i, b"<h1"):
+                in_heading = True
+                buf.clear()
+                in_tag = True
+                i += 3
+                continue
+            elif in_heading and i + 5 < html_len and _starts_with(h, i, b"</h1>"):
+                in_heading = False
+                i += 5
+                if buf:
+                    emit(b"\n\n# " + bytes(buf) + b"\n\n")
+                buf.clear()
+                continue
+            elif i + 3 < html_len and _starts_with(h, i, b"<h2"):
+                in_heading = True
+                buf.clear()
+                in_tag = True
+                i += 3
+                continue
+            elif in_heading and i + 5 < html_len and _starts_with(h, i, b"</h2>"):
+                in_heading = False
+                i += 5
+                if buf:
+                    emit(b"\n\n## " + bytes(buf) + b"\n\n")
+                buf.clear()
+                continue
+            elif i + 3 < html_len and _starts_with(h, i, b"<p>"):
+                in_paragraph = True
+                buf.clear()
+                i += 3
+                continue
+            elif in_paragraph and i + 4 < html_len and _starts_with(h, i, b"</p>"):
+                in_paragraph = False
+                i += 4
+                if buf:
+                    if is_useful_content(bytes(buf), len(buf)):
+                        emit(bytes(buf) + b"\n\n")
+                buf.clear()
+                continue
+
+        # ---- head/script/style content skip (crawler.c:306-313)
+        if in_head or in_script or in_style:
+            if c == 0x3C:  # '<'
+                in_tag = True
+            elif in_tag and c == 0x3E:  # '>'
+                in_tag = False
+            i += 1
+            continue
+
+        # ---- generic tag open + block breaks (crawler.c:316-331)
+        if c == 0x3C:
+            in_tag = True
+            if i + 4 < html_len and (
+                _starts_with(h, i, b"<p>") or _starts_with(h, i, b"<br")
+                or _starts_with(h, i, b"<li") or _starts_with(h, i, b"<h")
+            ):
+                if not in_title and not in_heading and not in_paragraph:
+                    out.extend(b"\n\n")  # break without content_written
+                consecutive_spaces = 0
+            i += 1
+            continue
+        if in_tag:
+            if c == 0x3E:
+                in_tag = False
+            i += 1
+            continue
+
+        # ---- buffered elements (crawler.c:342-384)
+        if in_title or in_heading or in_paragraph:
+            if len(buf) < _TEXT_BUFFER_CAP:
+                if c == 0x26:  # '&'
+                    emitted, i = _decode_entity(h, i, html_len)
+                    if emitted is not None:
+                        buf.extend(emitted)
+                elif c in _WS:
+                    if buf and buf[-1] not in _WS:
+                        buf.extend(b" ")
+                else:
+                    buf.append(c)
+            i += 1
+            continue
+
+        # ---- flowing text (crawler.c:387-430)
+        if c in _WS:
+            if consecutive_spaces == 0:
+                emit(b" ")
+                consecutive_spaces = 1
+        else:
+            if c == 0x26:
+                emitted, i = _decode_entity(h, i, html_len)
+                if emitted is not None:
+                    emit(emitted)
+            else:
+                emit(h[i : i + 1])
+            consecutive_spaces = 0
+            content_written = True
+        i += 1
+
+    if not content_written:
+        # crawler.c:434-436 APPENDS the fallback: block-break "\n\n" bytes
+        # (which don't set content_written) may already precede it.
+        out.extend(NO_CONTENT_FALLBACK)
+    return bytes(out)
+
+
+def extract_title(html: bytes) -> bytes:
+    """crawler.c:749-797: substring between the first `<title...>` and
+    `</title>`, <=255 bytes, with in-place &amp;/&lt;/&gt; decoding."""
+    start = html.find(b"<title")
+    if start < 0:
+        return b""
+    gt = html.find(b">", start)
+    if gt < 0:
+        return b""
+    end = html.find(b"</title>", gt + 1)
+    if end < 0:
+        return b""
+    title = html[gt + 1 : end]
+    if not (0 < len(title) < 255):
+        return b""
+    for ent, ch in ((b"&amp;", b"&"), (b"&lt;", b"<"), (b"&gt;", b">")):
+        title = title.replace(ent, ch)
+    return title
+
+
+def iter_href_candidates(html: bytes):
+    """Document-order href scan (extract_links loop, crawler.c:694-745).
+
+    Yields raw candidate bytes between href="..." / href='...' quotes. The
+    scan is byte-exact: earliest of the two quote styles wins; a missing end
+    quote advances one byte past the opening quote and rescans.
+    """
+    ptr = 0
+    n = len(html)
+    while ptr < n:
+        d = html.find(b'href="', ptr)
+        s = html.find(b"href='", ptr)
+        if d < 0 and s < 0:
+            break
+        if d >= 0 and (s < 0 or d < s):
+            start = d + 6
+            end = html.find(b'"', start)
+        else:
+            start = s + 6
+            end = html.find(b"'", start)
+        if end >= 0:
+            yield html[start:end]
+            ptr = end + 1
+        else:
+            ptr = start + 1  # crawler.c:711 - no end quote, move forward
+
+
+def extract_links(html: bytes, base_url: str, max_urls: int = 1000) -> list[str]:
+    """Stateless page-level link extraction: the candidate scan + resolution
+    + in-extractor domain check + first-occurrence self-dedup + page cap
+    (crawler.c:685-746 with process_extracted_url minus the visited-set
+    check, which is the distributed anti-join's job downstream).
+
+    Returns canonical URLs in extraction order. Note yields INCLUDE URLs the
+    serial crawler would drop as already-visited; callers replicate that with
+    first-occurrence-wins arbitration over (page seq, link index).
+    """
+    base_domain = extract_base_domain(base_url)
+    if not base_domain:
+        return []
+    urls: list[str] = []
+    seen_in_list: set[str] = set()
+    for raw in iter_href_candidates(html):
+        if len(urls) >= max_urls:
+            break
+        try:
+            raw_s = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            raw_s = raw.decode("utf-8", errors="replace")
+        canon = resolve_url(raw_s, base_url, base_domain)
+        if canon is None:
+            continue
+        if canon in seen_in_list:
+            continue
+        if extractor_domain_valid(canon, base_url, base_domain):
+            urls.append(canon)
+            seen_in_list.add(canon)
+    return urls
