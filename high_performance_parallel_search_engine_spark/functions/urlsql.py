@@ -1,0 +1,117 @@
+"""Catalyst-native Column implementations of the URL kernel.
+
+Each builder mirrors a kernel function exactly for the URL population that
+can reach it in the pipeline (validated http/https URLs); the kernel pandas
+UDFs remain the authoritative oracle and tests assert Column == kernel over
+the full synthetic corpus plus adversarial cases. Staying in Column land
+keeps the hot path inside whole-stage codegen - no Python boundary at all
+for canonicalization/validity/priority at 100 TB scale.
+
+Reference citations as in kernel/urls.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernel.urls import BLOCKED_EXTENSIONS
+
+
+def normalize_url_col(url: Column) -> Column:
+    """normalize_url (crawler.c:515-558) as a Column expression."""
+    u = F.substring(url, 1, 1023)                      # strncpy truncation
+    u = F.substring_index(u, "#", 1)                   # strip fragment
+    qpos = F.instr(u, "?")
+    query = F.substring(u, qpos, 1 << 30)              # '?...' tail
+    strip_q = F.substring(u, 1, qpos - 1)
+    u = (
+        F.when(qpos == 0, u)
+        .when(u.contains("medium.com"), strip_q)
+        .when(
+            query.contains("utm_") | query.contains("fbclid=")
+            | query.contains("gclid="),
+            strip_q,
+        )
+        .otherwise(u)
+    )
+    u = F.when(u.endswith("/"), u.substr(F.lit(1), F.length(u) - 1)).otherwise(u)
+    return F.coalesce(u, F.lit(""))
+
+
+def base_domain_col(url: Column) -> Column:
+    """extract_base_domain (crawler.c:487-512) for http(s) URLs: scheme+host.
+    Falls back to the truncated input when no '://' is present."""
+    d = F.substring(url, 1, 511)
+    has_proto = F.instr(d, "://") > 0
+    # first '://' then everything up to the next '/'
+    scheme = F.substring(d, 1, F.instr(d, "://") - 1)
+    rest = F.substring(d, F.instr(d, "://") + 3, 1 << 30)
+    hostpart = F.substring_index(rest, "/", 1)
+    return F.coalesce(
+        F.when(has_proto, F.concat(scheme, F.lit("://"), hostpart)).otherwise(d),
+        F.lit(""),
+    )
+
+
+def host_col(url: Column) -> Column:
+    """Bare hostname (partitioning key)."""
+    bd = base_domain_col(url)
+    return F.when(F.instr(bd, "://") > 0,
+                  F.substring(bd, F.instr(bd, "://") + 3, 1 << 30)).otherwise(bd)
+
+
+def valid_crawl_url_col(url: Column, base_domain: Column) -> Column:
+    """is_valid_crawl_url (crawler.c:979-1029). base_domain is the GLOBAL
+    per-seed domain column; empty string matches everything (strstr quirk)."""
+    low = F.lower(url)
+    blocked = F.lit(False)
+    for ext in BLOCKED_EXTENSIONS:
+        blocked = blocked | low.contains(ext)
+    medium = url.contains("medium.com")
+    medium_denied = (
+        url.contains("medium.com/m/signin") | url.contains("medium.com/m/signout")
+        | url.contains("medium.com/plans") | url.contains("help.medium.com")
+        | url.contains("policy.medium.com")
+    )
+    medium_allowed = (
+        url.contains("medium.com/@") | url.contains("/p/") | url.contains("/tag/")
+        | url.contains("/topics/") | url.contains("medium.com/")
+    )
+    domain_ok = base_domain.isNotNull() & (
+        (base_domain == "") | (F.instr(url, base_domain) > 0)
+    )
+    return (
+        url.isNotNull() & (url != "")
+        & (url.startswith("http://") | url.startswith("https://"))
+        & ~blocked
+        & F.when(medium, ~medium_denied & medium_allowed).otherwise(domain_ok)
+    )
+
+
+def is_html_content_url_col(url: Column) -> Column:
+    """URL-extension half of is_html_content (crawler.c:848-858): last-dot
+    suffix check against 7 asset types."""
+    ext = F.lower(F.regexp_extract(url, r"(\.[^./]*)$", 1))
+    return ~ext.isin(".jpg", ".jpeg", ".png", ".gif", ".css", ".js", ".pdf")
+
+
+def url_priority_col(url: Column, base_url: Column) -> Column:
+    """url_priority classifier (OpenMP Version/src/crawler.c:662-691)."""
+    medium_base = base_url.contains("medium.com")
+    medium_pr = (
+        F.when(~url.contains("medium.com"), F.lit(1))
+        .when(url.contains("/tagged/"), F.lit(3))
+        .when(url.contains("/@") & ~url.contains("/followers"), F.lit(4))
+        .when(url.contains("/p/"), F.lit(5))
+        .otherwise(F.lit(1))
+    )
+    other_pr = (
+        F.when(url.contains("/article/") | url.contains("/post/")
+               | url.contains("/blog/") | url.contains("/story/"), F.lit(4))
+        .when(url.contains("/category/") | url.contains("/tag/")
+              | url.contains("/topics/"), F.lit(3))
+        .when(url.contains("/page/") | url.contains("?page="), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return F.when(medium_base, medium_pr).otherwise(other_pr)

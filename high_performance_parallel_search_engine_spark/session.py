@@ -1,0 +1,38 @@
+"""SparkSession builder with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "hppse-spark", master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict | None = None) -> SparkSession:
+    """local[$SPARK_GRAFT_CPUS] by default; AQE + Arrow on. On a real
+    cluster the same builder is used by spark-submit (master from env)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    b = (
+        SparkSession.builder.appName(app).master(master)
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDFs / mapInPandas (the extraction hot path)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # shuffle sizing: small local runs want fewer partitions than the
+        # 200 default; a real cluster overrides via spark-submit --conf
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions
+                    or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
