@@ -1,0 +1,431 @@
+"""The crawl engine: BSP fetch rounds over a pages table.
+
+Re-expression of the serial crawl loop (Serial Version/src/crawler.c:
+1032-1403) as checkpointed Spark jobs - one job per BFS round - with exact
+crawl-order parity (proved against kernel/bfs.py, itself proved against a
+literal FIFO simulation):
+
+  frontier_r --(validity c.c:1082)--> --(robots, ours)--> --(politeness
+  budget, ours)--> --(fetch = join vs pages; gate c.c:1115+848)-->
+  --(stop cutoffs c.c:1075: maxPages + 10-consecutive-failures)-->
+  --(extract text+links, ONE Arrow pass, c.c:134-437/685-746)-->
+  --(candidate validity vs global seed domain, c.c:1305)-->
+  --(cross-round URL-seen anti-join [+bloom], c.c:1320)-->
+  --(intra-round arbitration: first-occurrence dedup + <=20/page cap,
+     c.c:1299-1341)--> frontier_{r+1}
+
+Scale design notes (the 100 TB story):
+- html bytes never cross a shuffle: the fetch gate joins a slim projection
+  (url, length(html)), and only surviving rows re-join for html right before
+  the extraction UDF;
+- the stop cutoff runs as cheap aggregates when no stop can possibly bind
+  this round (the common case) and only falls back to an ordered window in
+  the crawl's final round;
+- frontier/url_seen snapshots are parquet-per-round with a manifest commit
+  marker (Iceberg-snapshot semantics without the runtime dep); url_seen is
+  stored as per-round DELTAS, read back as a multi-path union - O(new urls)
+  write amplification per round;
+- the anti-join uses a bloom pre-filter (might_contain) so only ~fpp of
+  definitely-new candidates pay the exact anti-join shuffle;
+- frontiers repartition by salted host before the politeness window
+  (operators/politeness.py) - hot hosts cannot serialize a task;
+- per-round metrics + per-partition lineage land in metrics.json next to
+  each snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..functions.udfs import html_text_and_links
+from ..functions.urlsql import (
+    base_domain_col,
+    host_col,
+    is_html_content_url_col,
+    url_priority_col,
+    valid_crawl_url_col,
+)
+from .arbitrate import MAX_LINKS_PER_PAGE, arbitrate
+from .common import seen_anti_join, with_global_seq
+from .politeness import apply_budget, delay_ms_col
+from .robots import apply_robots
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("host", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("parent_url", StringType()),
+    StructField("base_domain", StringType()),
+    StructField("seq", LongType()),
+])
+
+EVENT_COLS = ["seq", "round", "url", "parent_url", "depth", "host",
+              "action", "delay_ms"]
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 2
+    max_pages: int = 10
+    failure_stop: int = 10
+    max_links_per_page: int = MAX_LINKS_PER_PAGE
+    default_budget: int | None = None       # None = unlimited (parity mode)
+    politeness: dict[str, int] | None = None  # host -> budget
+    robots: list[tuple[str, str, str]] | None = None  # (host, rule, prefix)
+    priority: bool = False
+    arbitration: str = "exact"              # 'exact' | 'scale' | 'auto'
+    use_bloom: bool = True
+    max_rounds: int = 64                    # safety rail
+
+    def to_json(self) -> dict:
+        return {k: getattr(self, k) for k in (
+            "max_depth", "max_pages", "failure_stop", "max_links_per_page",
+            "default_budget", "politeness", "robots", "priority",
+            "arbitration", "use_bloom", "max_rounds")}
+
+
+@dataclass
+class CrawlState:
+    round: int = 0
+    pages_crawled: int = 0
+    fail_carry: int = 0
+    next_seq: int = 0
+    next_event_seq: int = 0
+    stopped: str | None = None
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _round_dir(workdir: str, rnd: int) -> Path:
+    return Path(workdir) / f"round={rnd:05d}"
+
+
+def init_crawl(spark: SparkSession, seeds: list[str], workdir: str,
+               config: CrawlConfig) -> CrawlState:
+    """Normalize + dedup seeds (crawler.c:1046-1063), write the round-0
+    frontier and seed url_seen delta."""
+    from ..kernel.urls import extract_base_domain, normalize_url, url_host
+
+    rows = []
+    seen = set()
+    seq = 0
+    for s in seeds:
+        ns = normalize_url(s)
+        if not ns or ns in seen:
+            continue
+        seen.add(ns)
+        rows.append((ns, url_host(ns), 1, None, extract_base_domain(s), seq))
+        seq += 1
+    d = _round_dir(workdir, -1)
+    d.mkdir(parents=True, exist_ok=True)
+    fdf = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    fdf.write.mode("overwrite").parquet(str(d / "frontier_next.parquet"))
+    fdf.select("url").write.mode("overwrite").parquet(
+        str(d / "url_seen_delta.parquet"))
+    state = CrawlState(round=0, next_seq=seq, next_event_seq=0)
+    # the init manifest records round=-1 so load_state resumes AT round 0
+    _write_manifest(d, CrawlState(round=-1, next_seq=seq), config,
+                    {"seeds": len(rows)})
+    return state
+
+
+def _write_manifest(d: Path, state: CrawlState, config: CrawlConfig,
+                    metrics: dict) -> None:
+    (d / "manifest.json").write_text(json.dumps({
+        "round": state.round, "pages_crawled": state.pages_crawled,
+        "fail_carry": state.fail_carry, "next_seq": state.next_seq,
+        "next_event_seq": state.next_event_seq, "stopped": state.stopped,
+        "config": config.to_json(), "metrics": metrics,
+    }, indent=1))
+
+
+def load_state(workdir: str) -> tuple[CrawlState, CrawlConfig, int]:
+    """Resume: find the latest committed round (manifest present).
+    Returns (state, config, last_round)."""
+    dirs = sorted(Path(workdir).glob("round=*"))
+    last = None
+    for d in dirs:
+        if (d / "manifest.json").exists():
+            last = d
+    if last is None:
+        raise FileNotFoundError(f"no committed rounds under {workdir}")
+    m = json.loads((last / "manifest.json").read_text())
+    cfg_json = m["config"]
+    robots = cfg_json.get("robots")
+    if robots is not None:
+        robots = [tuple(r) for r in robots]
+    config = CrawlConfig(**{**cfg_json, "robots": robots})
+    state = CrawlState(
+        round=m["round"] + 1, pages_crawled=m["pages_crawled"],
+        fail_carry=m["fail_carry"], next_seq=m["next_seq"],
+        next_event_seq=m["next_event_seq"], stopped=m["stopped"])
+    return state, config, m["round"]
+
+
+def _read_url_seen(spark: SparkSession, workdir: str, upto_round: int) -> DataFrame:
+    paths = [str(_round_dir(workdir, r) / "url_seen_delta.parquet")
+             for r in range(-1, upto_round)]
+    paths = [p for p in paths if Path(p).exists()]
+    return spark.read.parquet(*paths)
+
+
+def _budgets_df(spark: SparkSession, config: CrawlConfig) -> DataFrame | None:
+    if config.politeness is None:
+        return None
+    rows = [(h, b) for h, b in config.politeness.items() if h != "*"]
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, "host string, max_fetches_per_round int")
+
+
+def _robots_df(spark: SparkSession, config: CrawlConfig) -> DataFrame | None:
+    if not config.robots:
+        return None
+    return spark.createDataFrame(config.robots,
+                                 "host string, rule string, path_prefix string")
+
+
+def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
+              state: CrawlState, config: CrawlConfig) -> dict:
+    """Execute one BSP round; writes the round snapshot; mutates state."""
+    t0 = time.monotonic()
+    rnd = state.round
+    d = _round_dir(workdir, rnd)
+    d.mkdir(parents=True, exist_ok=True)
+    frontier = spark.read.parquet(
+        str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
+
+    # ---- gates: validity (silent), robots, politeness ----
+    f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
+    f = apply_robots(f, _robots_df(spark, config))
+    allowed = f.where(F.col("robots_ok")).drop("robots_ok")
+    denied = f.where(~F.col("robots_ok")).drop("robots_ok")
+
+    default_budget = None
+    if config.politeness is not None:
+        default_budget = config.politeness.get("*")
+    ranked = apply_budget(allowed, _budgets_df(spark, config), default_budget)
+    deferred = ranked.where(~F.col("fetch_now")).drop("fetch_now", "host_rank")
+    fetchset = ranked.where(F.col("fetch_now")).drop("fetch_now", "host_rank")
+
+    # ---- fetch gate on a slim projection (html never shuffles) ----
+    page_len = pages.select("url", F.length("html").alias("_hlen"))
+    meta = (fetchset.join(page_len, "url", "left")
+            .withColumn("ok", F.col("_hlen").isNotNull() & (F.col("_hlen") > 100)
+                        & is_html_content_url_col(F.col("url")))
+            .drop("_hlen"))
+    meta = meta.localCheckpoint(eager=True)  # fetch gate reused 3x below
+
+    # ---- stop cutoff (maxPages + consecutive failures) ----
+    remaining = config.max_pages - state.pages_crawled
+    agg = meta.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.max(F.when(F.col("ok"), F.col("seq"))).alias("max_ok_seq"),
+    ).collect()[0]
+    n_att, n_ok = agg["n"] or 0, agg["n_ok"] or 0
+    n_fail = n_att - n_ok
+    stop_seq = None
+    if n_ok < remaining and state.fail_carry + n_fail < config.failure_stop:
+        # fast path: no stop can bind; everyone attempts
+        attempted = meta.withColumn("attempted", F.lit(True))
+        if agg["max_ok_seq"] is not None:
+            trailing = meta.where(~F.col("ok")
+                                  & (F.col("seq") > agg["max_ok_seq"])).count()
+            state.fail_carry = trailing
+        else:
+            state.fail_carry += n_att
+    else:
+        # slow path (final round): exact ordered cutoff. Window is global but
+        # only over this round's slim attempt rows, and runs at most once per
+        # crawl (the crawl ends here).
+        w_before = Window.orderBy("seq").rowsBetween(
+            Window.unboundedPreceding, -1)
+        ordered = (
+            meta.withColumn("_cum_ok", F.coalesce(
+                F.sum(F.col("ok").cast("long")).over(w_before), F.lit(0)))
+            .withColumn("_pos", F.row_number().over(Window.orderBy("seq")))
+            .withColumn("_last_ok_pos", F.max(
+                F.when(F.col("ok"), F.col("_pos")).otherwise(None)).over(w_before))
+            .withColumn("_consec", F.when(
+                F.col("_last_ok_pos").isNotNull(),
+                F.col("_pos") - 1 - F.col("_last_ok_pos"))
+                .otherwise(F.col("_pos") - 1 + F.lit(state.fail_carry)))
+            .withColumn("attempted",
+                        (F.col("_cum_ok") < F.lit(remaining))
+                        & (F.col("_consec") < F.lit(config.failure_stop)))
+        )
+        ordered = ordered.localCheckpoint(eager=True)
+        stop_row = (ordered.where(~F.col("attempted"))
+                    .agg(F.min("seq").alias("s")).collect()[0]["s"])
+        stop_seq = stop_row
+        attempted = ordered.drop("_cum_ok", "_pos", "_last_ok_pos", "_consec")
+        if stop_seq is not None:
+            state.stopped = ("max_pages"
+                             if n_ok >= remaining else "failure_stop")
+            # recompute which actually binds at the stop position
+            first = (ordered.where(~F.col("attempted"))
+                     .orderBy("seq").select("_cum_ok", "_consec").first())
+            if first is not None:
+                state.stopped = ("max_pages" if first["_cum_ok"] >= remaining
+                                 else "failure_stop")
+        # fail carry (only relevant if no stop: compute trailing run)
+        if stop_seq is None:
+            if agg["max_ok_seq"] is not None:
+                state.fail_carry = meta.where(
+                    ~F.col("ok") & (F.col("seq") > agg["max_ok_seq"])).count()
+            else:
+                state.fail_carry += n_att
+
+    att = attempted.where(F.col("attempted"))
+    if stop_seq is not None:
+        denied = denied.where(F.col("seq") < stop_seq)
+        deferred = deferred.where(F.col("seq") < stop_seq)
+
+    # ---- events ----
+    ev_att = att.select(
+        "seq", "url", "parent_url", "depth", "host",
+        F.when(F.col("ok"), F.lit("fetched")).otherwise(F.lit("fetch_failed"))
+        .alias("action"),
+        delay_ms_col(F.col("url")).alias("delay_ms"))
+    ev_den = denied.select("seq", "url", "parent_url", "depth", "host",
+                           F.lit("robots_denied").alias("action"),
+                           F.lit(0).alias("delay_ms"))
+    ev_def = deferred.select("seq", "url", "parent_url", "depth", "host",
+                             F.lit("deferred").alias("action"),
+                             F.lit(0).alias("delay_ms"))
+    events = ev_att.unionByName(ev_den).unionByName(ev_def)
+    events = (with_global_seq(events.withColumnRenamed("seq", "frontier_seq"),
+                              ["frontier_seq"], "event_seq",
+                              offset=state.next_event_seq)
+              .withColumn("round", F.lit(rnd)))
+
+    # ---- extraction (one Arrow pass; html joined only for successes) ----
+    succ = att.where(F.col("ok")).drop("ok", "attempted")
+    succ = succ.withColumn("_skip_links",
+                           F.col("depth") >= F.lit(config.max_depth))
+    enriched = succ.join(pages.select("url", "html", "warc_ts", "lang"), "url")
+    extracted = html_text_and_links(enriched, skip_links_col="_skip_links")
+    extracted = extracted.withColumn("lineage_partition",
+                                     F.spark_partition_id())
+    extracted = extracted.localCheckpoint(eager=True)  # cut html lineage
+
+    pages_out = extracted.select(
+        "url", F.lit(rnd).alias("round"), "seq", "depth", "parent_url",
+        "host", "text", "warc_ts", "lang", "lineage_partition")
+
+    # ---- candidate links -> next frontier ----
+    cands = (
+        extracted.where((F.col("depth") < config.max_depth) & ~F.col("_skip_links"))
+        .select(F.col("seq").alias("parent_seq"),
+                F.col("url").alias("parent_url_c"),
+                F.col("depth").alias("parent_depth"),
+                F.col("base_domain"),
+                F.posexplode("links").alias("link_idx", "url"))
+        .where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
+    )
+    url_seen = _read_url_seen(spark, workdir, rnd)
+    new_cands = seen_anti_join(cands, url_seen)
+    children = arbitrate(new_cands, cap=config.max_links_per_page,
+                         mode=config.arbitration)
+
+    # ---- next frontier: deferred first (old seq order), then children ----
+    child_rows = children.select(
+        "url", host_col(F.col("url")).alias("host"),
+        (F.col("parent_depth") + 1).alias("depth"),
+        F.col("parent_url_c").alias("parent_url"),
+        "base_domain",
+        F.lit(1).alias("_k0"),
+        (-url_priority_col(F.col("url"), F.col("parent_url_c"))
+         if config.priority else F.lit(0)).cast("long").alias("_k1"),
+        F.col("parent_seq").alias("_k2"), F.col("link_idx").alias("_k3"))
+    def_rows = deferred.select(
+        "url", "host", "depth", "parent_url", "base_domain",
+        F.lit(0).alias("_k0"), F.lit(0).cast("long").alias("_k1"),
+        F.col("seq").alias("_k2"), F.lit(0).alias("_k3"))
+    nxt = def_rows.unionByName(child_rows)
+    if state.stopped:
+        nxt = nxt.limit(0)
+    next_frontier = with_global_seq(nxt, ["_k0", "_k1", "_k2", "_k3"],
+                                    "seq", offset=state.next_seq)
+    next_frontier = next_frontier.drop("_k0", "_k1", "_k2", "_k3") \
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+
+    # ---- persist snapshot (manifest last = commit marker) ----
+    events.select("event_seq", *[c for c in EVENT_COLS if c != "seq"],
+                  "frontier_seq") \
+        .withColumnRenamed("event_seq", "seq") \
+        .write.mode("overwrite").parquet(str(d / "events.parquet"))
+    pages_out.write.mode("overwrite").parquet(str(d / "pages.parquet"))
+    next_frontier.write.mode("overwrite").parquet(
+        str(d / "frontier_next.parquet"))
+    children.select("url").write.mode("overwrite").parquet(
+        str(d / "url_seen_delta.parquet"))
+
+    # ---- metrics + lineage ----
+    ev_counts = {r["action"]: r["cnt"] for r in
+                 spark.read.parquet(str(d / "events.parquet"))
+                 .groupBy("action").agg(F.count("*").alias("cnt")).collect()}
+    fetched = ev_counts.get("fetched", 0)
+    part_lineage = [
+        {"partition": r["lineage_partition"], "pages": r["cnt"]}
+        for r in spark.read.parquet(str(d / "pages.parquet"))
+        .groupBy("lineage_partition").agg(F.count("*").alias("cnt")).collect()]
+    delay_sum = (spark.read.parquet(str(d / "events.parquet"))
+                 .agg(F.sum("delay_ms").alias("s")).collect()[0]["s"]) or 0
+    n_children = children.count()
+    n_cands = cands.count()
+    metrics = {
+        "round": rnd, "events": ev_counts, "fetched": fetched,
+        "candidates": n_cands, "enqueued": n_children,
+        "dedup_dropped": n_cands - n_children,
+        "politeness_delay_ms_total": int(delay_sum),
+        "lineage_partitions": part_lineage,
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+    (d / "metrics.json").write_text(json.dumps(metrics, indent=1))
+
+    # ---- advance state ----
+    state.pages_crawled += fetched
+    state.next_seq += next_frontier.count()
+    state.next_event_seq += events.count()
+    if not state.stopped:
+        if state.pages_crawled >= config.max_pages:
+            state.stopped = "max_pages"
+        elif state.fail_carry >= config.failure_stop:
+            state.stopped = "failure_stop"
+    _write_manifest(d, state, config, metrics)
+    return metrics
+
+
+def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
+              workdir: str, config: CrawlConfig | None = None,
+              resume: bool = False) -> CrawlState:
+    """Drive rounds until a stop condition (crawler.c:1075 analog) or the
+    frontier drains. `resume=True` continues from the last committed round
+    snapshot instead of re-initializing."""
+    config = config or CrawlConfig()
+    if resume:
+        state, config, _last = load_state(workdir)
+        if state.stopped:
+            return state
+    else:
+        state = init_crawl(spark, seeds, workdir, config)
+    while state.round < config.max_rounds and not state.stopped:
+        prev = _round_dir(workdir, state.round - 1) / "frontier_next.parquet"
+        n = spark.read.parquet(str(prev)).count()
+        if n == 0:
+            state.stopped = "frontier_empty"
+            break
+        m = run_round(spark, pages, workdir, state, config)
+        state.metrics.append(m)
+        state.round += 1
+    return state

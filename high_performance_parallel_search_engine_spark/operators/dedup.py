@@ -1,0 +1,166 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Beyond the reference's URL-seen dedup (crawler.c:447-484 == the anti-join in
+operators/common.py), these are the content-level dedup operators a 100 TB
+corpus pipeline needs. All are pure-Column (codegen) implementations over a
+documents table, each with an exactly-matching ANSI-SQL oracle (DuckDB) -
+see __spark_entry__.py.
+
+Portability contract: every hash is PHASH(s) = first 15 hex chars of md5(s)
+as a 64-bit int - bit-identical in Spark (conv) and DuckDB (0x cast), so
+MinHash/SimHash signatures agree across engines. MinHash uses the salted-
+hash family h_j(s) = PHASH(j || ':' || s) (no modular multiplication -
+avoids 64-bit overflow divergence between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.text import TOKEN_SPLIT_REGEX
+
+NUM_PERM = 12          # minhash permutations
+LSH_BANDS = 4          # bands of rows each
+LSH_ROWS = NUM_PERM // LSH_BANDS
+SIMHASH_BITS = 32
+SHINGLE_K = 3
+
+
+def phash_col(s: Column) -> Column:
+    """Portable 60-bit hash: int(md5(s)[:15], 16)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def phash_sql(expr: str) -> str:
+    """The DuckDB-side rendering of phash_col."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def tokens_simple_col(text: Column) -> Column:
+    """Whitespace/punct token array (same class as the index tokenizer but
+    case-preserving; dedup operates on raw surface forms)."""
+    return F.filter(F.split(text, TOKEN_SPLIT_REGEX), lambda t: F.length(t) > 0)
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """k-token shingle strings via slice/transform - one pass, no explode."""
+    toks = tokens_simple_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact content dedup: keep the smallest id per md5(text) group.
+    (hash-groupBy; at 100 TB this is one shuffle on the 16-byte digest,
+    never on the document bodies.) Returns (doc_id, content_hash, group_size).
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count("*").alias("group_size"))
+        .select("doc_id", "content_hash", "group_size")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): one explode + one grouped aggregation with
+    num_perm min() columns - the signature computes in a single shuffle."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    aggs = [
+        F.min(phash_col(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+        .alias(f"mh_{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = NUM_PERM,
+                      bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    sig = minhash_signatures(docs, id_col, text_col, num_perm)
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}").cast("string")
+                for r in range(rows)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("bucket")))
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.bucket").alias("bucket"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"),
+                 F.col("r.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): tf-weighted bit-vote simhash over tokens.
+    bit_k = 1 iff sum(tf * (token_hash bit k ? 1 : -1)) > 0."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_simple_col(F.col(text_col))).alias("token"),
+    ).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    h = phash_col(F.col("token"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"v_{k}")
+        for k in range(bits)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for k in range(bits):
+        sim = sim + F.when(F.col(f"v_{k}") > 0,
+                           F.lit(1 << k).cast("long")).otherwise(F.lit(0))
+    return voted.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = SHINGLE_K,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard over pairs sharing >= 1 shingle, via the
+    inverted shingle->doc index (never all-pairs). Returns
+    (doc_a, doc_b, jaccard rounded to 6) with doc_a < doc_b, j >= threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).where(F.col("shingle") != "").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a").join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,78 @@
+"""Inverted-index build: the reference's entire index.c/parser.c collapses
+into three hash aggregations.
+
+- postings:   add_token per (term, doc) freq (Serial Version/src/index.c:
+              69-114, and the 180-line MPI merge at MPI Version/src/index.c:
+              621-800) == groupBy(term, doc_id).count() - partial+final
+              aggregation gives the OpenMP thread-local-combiner and the MPI
+              Allreduce patterns for free.
+- doc_stats:  doc_lengths[doc]++ (index.c:89-110) == groupBy(doc_id).count()
+- corpus:     total_tokens/unique_terms/avg_dl (metrics.c:46-50,
+              ranking.c:39-42) == one agg.
+
+Tokenization matches parser.c:51-75: split on the strtok delimiter class,
+lowercase, drop stopwords, drop empty/>100-char tokens. The same regex
+literal is used by the DuckDB oracle SQL so both engines tokenize
+identically (kernel/text.py:TOKEN_SPLIT_REGEX).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.text import DEFAULT_STOPWORDS, TOKEN_SPLIT_REGEX
+
+MAX_TOKEN_LEN = 100  # index.c:71-73
+
+
+def tokens_col(text, stopwords=DEFAULT_STOPWORDS):
+    """array<string> of index-ready tokens from a text column; pure Column
+    (codegen), identical to kernel.text.tokenize with the serial stemmer."""
+    toks = F.split(text, TOKEN_SPLIT_REGEX)
+    toks = F.transform(toks, lambda t: F.lower(t))
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LEN)
+        & ~F.array_contains(stop, t),
+    )
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               stopwords=DEFAULT_STOPWORDS) -> DataFrame:
+    """(doc_id, term) exploded token stream in document order."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col), stopwords)).alias("term"),
+    )
+
+
+def build_postings(docs: DataFrame, **kw) -> DataFrame:
+    """(term, doc_id, tf) - the inverted index as a table."""
+    return (doc_tokens(docs, **kw)
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf")))
+
+
+def build_doc_stats(docs: DataFrame, **kw) -> DataFrame:
+    """(doc_id, dl) document lengths in kept tokens."""
+    return (doc_tokens(docs, **kw)
+            .groupBy("doc_id").agg(F.count("*").alias("dl")))
+
+
+def corpus_stats(docs: DataFrame, **kw) -> DataFrame:
+    """One row: total_tokens, unique_terms, total_docs, avg_dl."""
+    toks = doc_tokens(docs, **kw)
+    return toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("term").alias("unique_terms"),
+        F.countDistinct("doc_id").alias("total_docs"),
+        (F.count("*") / F.countDistinct("doc_id")).alias("avg_dl"),
+    )
+
+
+def term_df(postings: DataFrame) -> DataFrame:
+    """(term, df) document frequency (ranking.c:54)."""
+    return postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -1,0 +1,181 @@
+"""Crawl-order + URL-seen parity: Spark pipeline == serial oracle.
+
+The north_rule correctness contract: given the same seed list and politeness
+budget, the distributed pipeline must reproduce the reference's exact crawl
+ordering and URL-seen set (oracle = kernel/bfs.py, itself proved equal to a
+literal FIFO simulation of Serial Version/src/crawler.c:1032-1403), and the
+extracted text must be byte-identical per url.
+"""
+
+import pandas as pd
+import pytest
+
+from high_performance_parallel_search_engine_spark.kernel.bfs import crawl as oracle_crawl
+from high_performance_parallel_search_engine_spark.operators.crawl import (
+    CrawlConfig,
+    load_state,
+    run_crawl,
+)
+from high_performance_parallel_search_engine_spark.sources.synth import (
+    corpus_rows,
+    pages_dict,
+    seed_urls,
+)
+
+PAGES = pages_dict()
+ROWS = list(corpus_rows())
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    pdf = pd.DataFrame(ROWS)[["url", "warc_ts", "html", "lang"]]
+    return spark.createDataFrame(pdf).cache()
+
+
+def _oracle_events_df(result):
+    return [
+        dict(seq=e.seq, round=e.round, url=e.url, parent_url=e.parent_url,
+             depth=e.depth, host=e.host, action=e.action, delay_ms=e.delay_ms)
+        for e in result.events
+    ]
+
+
+def _spark_events(spark, workdir):
+    df = spark.read.parquet(f"{workdir}/round=*/events.parquet")
+    rows = df.orderBy("seq").collect()
+    return [
+        dict(seq=r["seq"], round=r["round"], url=r["url"],
+             parent_url=r["parent_url"], depth=r["depth"], host=r["host"],
+             action=r["action"], delay_ms=r["delay_ms"])
+        for r in rows
+    ]
+
+
+def _assert_parity(spark, pages_df, tmp_path, seeds, config, oracle_kwargs):
+    workdir = str(tmp_path / "crawl")
+    state = run_crawl(spark, pages_df, seeds, workdir, config)
+    expected = oracle_crawl(PAGES, seeds, **oracle_kwargs)
+    got = _spark_events(spark, workdir)
+    want = _oracle_events_df(expected)
+    assert got == want, (
+        f"event divergence: spark={got[:5]}... oracle={want[:5]}...")
+    assert state.pages_crawled == expected.pages_crawled
+    # URL-seen set per committed round
+    for rnd, seen in enumerate(expected.url_seen_rounds):
+        deltas = [f"{workdir}/round=-0001/url_seen_delta.parquet"] + [
+            f"{workdir}/round={r:05d}/url_seen_delta.parquet"
+            for r in range(rnd + 1)]
+        got_seen = {r["url"] for r in spark.read.parquet(*deltas).collect()}
+        assert got_seen == seen, f"url_seen mismatch at round {rnd}"
+    return state, expected
+
+
+@pytest.mark.parametrize("seed_idx,max_depth,max_pages", [
+    (0, 2, 10),     # reference defaults
+    (0, 3, 30),
+    (0, 3, 1000),   # frontier drains
+    (3, 3, 25),     # medium crawl (seed_urls()[3] is medium)
+    (0, 1, 5),      # depth 1: no link extraction at all
+])
+def test_single_seed_parity(spark, pages_df, tmp_path, seed_idx, max_depth,
+                            max_pages):
+    seeds = [seed_urls()[seed_idx]]
+    _assert_parity(spark, pages_df, tmp_path, seeds,
+                   CrawlConfig(max_depth=max_depth, max_pages=max_pages),
+                   dict(max_depth=max_depth, max_pages=max_pages))
+
+
+def test_multi_seed_parity(spark, pages_df, tmp_path):
+    seeds = seed_urls()
+    _assert_parity(spark, pages_df, tmp_path, seeds,
+                   CrawlConfig(max_depth=3, max_pages=60),
+                   dict(max_depth=3, max_pages=60))
+
+
+def test_politeness_budget_parity(spark, pages_df, tmp_path):
+    seeds = seed_urls()
+    pol = {"*": 4, "medium.com": 2}
+    _assert_parity(
+        spark, pages_df, tmp_path, seeds,
+        CrawlConfig(max_depth=3, max_pages=100, politeness=pol),
+        dict(max_depth=3, max_pages=100, politeness=pol))
+
+
+def test_robots_parity(spark, pages_df, tmp_path):
+    seeds = seed_urls()
+    robots_rules = [("host0.example.com", "disallow", "/p/1"),
+                    ("host0.example.com", "allow", "/p/12"),
+                    ("medium.com", "disallow", "/@user3")]
+    robots_dict = {}
+    for h, rule, pfx in robots_rules:
+        robots_dict.setdefault(h, []).append((rule, pfx))
+    _assert_parity(
+        spark, pages_df, tmp_path, seeds,
+        CrawlConfig(max_depth=3, max_pages=100, robots=robots_rules),
+        dict(max_depth=3, max_pages=100, robots=robots_dict))
+
+
+def test_failure_stop_parity(spark, tmp_path):
+    # corpus with a page full of dead links -> consecutive failures
+    import pandas as pd
+
+    from high_performance_parallel_search_engine_spark.kernel.urls import url_host
+
+    host = "https://deadend.example.com"
+    links = "".join(f'<a href="{host}/p/{i}">x</a>' for i in range(15))
+    hub = (f"<html><body><p>hub page with lots of text to pass the "
+           f"one hundred byte content gate easily</p>{links}</body></html>").encode()
+    pages = {f"{host}/p/0": hub}
+    pdf = pd.DataFrame([{"url": f"{host}/p/0", "warc_ts": None, "html": hub,
+                         "lang": "en"}])
+    pages_df = spark.createDataFrame(pdf)
+    seeds = [f"{host}/p/0"]
+    workdir = str(tmp_path / "fs")
+    state = run_crawl(spark, pages_df, seeds, workdir,
+                      CrawlConfig(max_depth=3, max_pages=100))
+    expected = oracle_crawl(pages, seeds, max_depth=3, max_pages=100)
+    assert expected.stopped_reason == "failure_stop"
+    assert state.stopped == "failure_stop"
+    assert _spark_events(spark, workdir) == _oracle_events_df(expected)
+
+
+def test_extracted_text_byte_identical(spark, pages_df, tmp_path):
+    from high_performance_parallel_search_engine_spark.kernel.html import html_to_text
+
+    seeds = [seed_urls()[0], seed_urls()[3]]
+    workdir = str(tmp_path / "txt")
+    run_crawl(spark, pages_df, seeds, workdir,
+              CrawlConfig(max_depth=3, max_pages=40))
+    out = spark.read.parquet(f"{workdir}/round=*/pages.parquet").collect()
+    assert out
+    for r in out:
+        expected = html_to_text(PAGES[r["url"]])
+        assert r["text"].encode("utf-8") == expected, r["url"]
+
+
+def test_resume_equals_uninterrupted(spark, pages_df, tmp_path):
+    seeds = seed_urls()
+    cfg = CrawlConfig(max_depth=3, max_pages=60)
+    w_full = str(tmp_path / "full")
+    run_crawl(spark, pages_df, seeds, w_full, cfg)
+
+    # run only 1 round, then resume to completion
+    w_part = str(tmp_path / "part")
+    cfg1 = CrawlConfig(max_depth=3, max_pages=60, max_rounds=1)
+    run_crawl(spark, pages_df, seeds, w_part, cfg1)
+    # fix the config back (resume reuses persisted config; emulate operator
+    # bumping max_rounds on restart)
+    import json
+    from pathlib import Path
+    for mf in Path(w_part).glob("round=*/manifest.json"):
+        m = json.loads(mf.read_text())
+        m["config"]["max_rounds"] = 64
+        mf.write_text(json.dumps(m))
+    run_crawl(spark, pages_df, seeds, w_part, resume=True)
+
+    assert _spark_events(spark, w_full) == _spark_events(spark, w_part)
+    full_pages = {(r["url"], r["seq"]) for r in
+                  spark.read.parquet(f"{w_full}/round=*/pages.parquet").collect()}
+    part_pages = {(r["url"], r["seq"]) for r in
+                  spark.read.parquet(f"{w_part}/round=*/pages.parquet").collect()}
+    assert full_pages == part_pages
