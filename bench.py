@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Three phases:
+1. headline operator queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]
+2. crawl throughput: a multi-seed BFS crawl over a distributed synthetic web
+   (scale-mode arbitration), urls-fetched/sec + rounds/hour
+3. scaling evidence (BASELINE.md north rule, sandboxed form): the SAME crawl
+   job at local[N/4] and local[N] on identical input; reports throughput at
+   both and efficiency = T_N / (4 * T_{N/4}).
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "crawl": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SMALL_CPUS = max(CPUS // 4, 1)
+
+HEADLINE = [
+    "url_normalize", "url_valid", "postings", "bm25_topk", "per_parent_cap",
+    "sessionize", "lineitem_agg", "nation_revenue_topk", "dedup_exact",
+    "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs", "cosine_topk",
+    "lang_id", "quality_score", "token_counts",
+]
+
+# crawl bench corpus shape (generated distributed, no oracle text)
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "24"))
+PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "250"))
+N_MEDIUM = int(os.environ.get("BENCH_MEDIUM", "150"))
+MAX_DEPTH = 4
+
+
+def build_session(master_threads: int):
+    from high_performance_parallel_search_engine_spark.session import (
+        build_session as bs,
+    )
+
+    return bs("bench", master=f"local[{master_threads}]",
+              shuffle_partitions=master_threads,
+              extra_conf={"spark.sql.files.maxPartitionBytes": "33554432"})
+
+
+def phase_queries(spark) -> dict[str, float]:
+    from high_performance_parallel_search_engine_spark.oracles import QUERIES
+
+    timings = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def prepare_corpus(spark, path: str) -> None:
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df,
+    )
+
+    df = build_corpus_df(spark, n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST,
+                         n_medium=N_MEDIUM, n_tiny_per_host=2,
+                         with_oracle_text=False, distributed_threshold=0)
+    df.select("url", "warc_ts", "html", "lang").write.mode("overwrite") \
+        .parquet(path)
+
+
+def run_crawl_bench(spark, corpus_path: str) -> dict:
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig, run_crawl,
+    )
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        medium_profile_url, page_url,
+    )
+
+    pages = spark.read.parquet(corpus_path)
+    seeds = [page_url(h, 0) for h in range(N_HOSTS)] + [medium_profile_url(0)]
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(max_depth=MAX_DEPTH, max_pages=10_000_000,
+                      failure_stop=1 << 30, arbitration="scale",
+                      max_rounds=MAX_DEPTH + 1)
+    t0 = time.monotonic()
+    state = run_crawl(spark, pages, seeds, workdir, cfg)
+    wall = time.monotonic() - t0
+    rounds = state.round
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "pages_fetched": state.pages_crawled,
+        "rounds": rounds,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(state.pages_crawled / wall, 2),
+        "rounds_per_hour": round(rounds / (wall / 3600), 1),
+    }
+
+
+def main() -> None:
+    total_t0 = time.monotonic()
+    corpus_path = os.path.join(tempfile.gettempdir(), "bench_corpus.parquet")
+
+    # --- phase 1 + corpus prep on the big session
+    spark_big = build_session(CPUS)
+    print("phase 1: headline queries", file=sys.stderr)
+    timings = phase_queries(spark_big)
+    print("prep: synthetic corpus", file=sys.stderr)
+    prepare_corpus(spark_big, corpus_path)
+
+    # --- phase 2: crawl throughput at N threads
+    print(f"phase 2: crawl at local[{CPUS}]", file=sys.stderr)
+    crawl_big = run_crawl_bench(spark_big, corpus_path)
+    spark_big.stop()
+
+    # --- phase 3: same job at N/4 threads
+    print(f"phase 3: crawl at local[{SMALL_CPUS}]", file=sys.stderr)
+    spark_small = build_session(SMALL_CPUS)
+    crawl_small = run_crawl_bench(spark_small, corpus_path)
+    spark_small.stop()
+
+    eff = crawl_big["urls_per_sec"] / (4 * crawl_small["urls_per_sec"]) \
+        if crawl_small["urls_per_sec"] else 0.0
+    result = {
+        "metric": "headline_queries_plus_crawl_total",
+        "value": round(time.monotonic() - total_t0, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "crawl": {f"local[{CPUS}]": crawl_big,
+                  f"local[{SMALL_CPUS}]": crawl_small},
+        "scaling": {
+            "n_small": SMALL_CPUS, "n_big": CPUS,
+            "urls_per_sec_small": crawl_small["urls_per_sec"],
+            "urls_per_sec_big": crawl_big["urls_per_sec"],
+            "efficiency_n_to_4n": round(eff, 3),
+        },
+    }
+    shutil.rmtree(corpus_path, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

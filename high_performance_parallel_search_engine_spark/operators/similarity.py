@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (training-data pipeline).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed variant
+(random-hyperplane signs) as the sublinear scale path. The GPU dense-matrix
+scoring of the reference (Super Hybrid Version/src/cuda_kernels.cu:211-321)
+is the same computation shape: vectorized score + top-k.
+
+Portability contract (for the DuckDB oracle): embeddings are QUANTIZED to
+integers (round(x * 1e6)) before the dot product, so the similarity is
+computed from exact integer sums - bit-identical across engines regardless
+of float summation order - then one sqrt/div in double. 64-dim * (2^21)^2
+products stay far below 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def quant_col(vec: Column) -> Column:
+    """array<long> quantized embedding."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT)
+                       .cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda s, x: s + x)
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, cos) with the
+    query rows broadcast against the corpus; ordering (cos desc, neighbor
+    asc); self-matches excluded; cos rounded to 6.
+
+    Plan: broadcast-join |Q| queries x N corpus rows -> codegen'd integer
+    dot products -> per-query top-k via window (TakeOrdered shape). At scale
+    swap the window for groupBy+max_by(k) or the LSH variant below.
+    """
+    q = (embeddings.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"),
+                 quant_col(F.col(vec_col)).alias("qv")))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          quant_col(F.col(vec_col)).alias("cv"))
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(dot / (nq * nc), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rk"))
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 12,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64, seed: int = 42) -> DataFrame:
+    """Sign-LSH bucket per vector: bit j = (v . r_j > 0) for deterministic
+    pseudo-random hyperplanes r_j derived from (seed, j, i) - no stored
+    model, any engine can regenerate them. Returns (vec_id, bucket).
+
+    At 10^10 rows: groupBy(bucket) co-locates near neighbors; candidate
+    search touches only same-bucket (or neighboring-bucket) rows instead of
+    the full corpus - the standard ANN scale path.
+    """
+    import random
+
+    planes = []
+    for j in range(n_planes):
+        rng = random.Random(f"{seed}:{j}")
+        planes.append([rng.uniform(-1.0, 1.0) for _ in range(dim)])
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, arr, lambda a, b: a.cast("double") * b),
+                          F.lit(0.0), lambda s, x: s + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")) \
+            .otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col).alias("vec_id"),
+                             bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                    n_planes: int = 8, **kw) -> DataFrame:
+    """ANN: exact cosine, but only within matching LSH buckets (recall < 1
+    by design; the scale path). Same output shape as cosine_topk."""
+    buckets = hyperplane_lsh_buckets(embeddings, n_planes=n_planes, **kw)
+    with_b = embeddings.join(buckets, embeddings["vec_id"] == buckets["vec_id"]) \
+        .select(embeddings["vec_id"], "embedding", "bucket")
+    q = (with_b.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 quant_col(F.col("embedding")).alias("qv"), "bucket"))
+    c = with_b.select(F.col("vec_id").alias("neighbor_id"),
+                      quant_col(F.col("embedding")).alias("cv"), "bucket")
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(dot / (nq * nc), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rk"))

@@ -1,0 +1,814 @@
+"""Query registry: every operator as a (Spark callable, DuckDB oracle SQL)
+pair for the driver's correctness gate (__spark_entry__.py re-exports).
+
+Design rules that make cross-engine value-hash equality possible:
+- every aggregate/computed column is aliased IDENTICALLY on both sides;
+- all hashes are the portable md5-prefix bigint (operators/dedup.phash_col
+  == phash_sql);
+- float-accumulation-order hazards are removed: embedding math is quantized
+  to exact integers before summation; BM25 scores are rounded to 4 decimals
+  (sums of <=4 deterministic doubles);
+- the tokenizer regex literal (kernel.text.TOKEN_SPLIT_REGEX) is passed
+  verbatim to Spark's split() (Java regex) and DuckDB's string_split_regex
+  (RE2) - the class only uses syntax common to both;
+- timestamps compare as epoch seconds (session timezone pinned to UTC).
+
+The synthesized URL column (documents-derived) exercises the crawler's URL
+semantics inside the SQL-comparable gate; the crawl pipeline itself is
+covered by the parity pytest suite and a rows-only smoke query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernel.text import TOKEN_SPLIT_REGEX
+from .kernel.urls import BLOCKED_EXTENSIONS
+from .functions.urlsql import (
+    base_domain_col,
+    host_col,
+    normalize_url_col,
+    url_priority_col,
+    valid_crawl_url_col,
+)
+from .operators import dedup as D
+from .operators import index as IX
+from .operators import ranking as RK
+from .operators import similarity as SIM
+from .operators import textstats as TS
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- synthesized URL column (same rule, both dialects) ---------------------
+
+def synth_url_col() -> "F.Column":
+    base = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("https://medium.com/@user"),
+                 F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string")))
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("#frag"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("?utm_source=x&id=9"))
+        .otherwise(F.lit("?keep=1&page=2")))
+    return F.concat(base, suffix)
+
+
+SYNTH_URL_SQL = """
+    (CASE WHEN doc_id % 7 = 0
+          THEN 'https://medium.com/@user' || CAST(doc_id AS VARCHAR)
+          ELSE 'https://' || source || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) END)
+    || (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/' WHEN 2 THEN '#frag'
+             WHEN 3 THEN '?utm_source=x&id=9' ELSE '?keep=1&page=2' END)
+"""
+
+# --- normalize_url in SQL (crawler.c:515-558 port) --------------------------
+
+NORM_SQL = """
+CASE WHEN u2 LIKE '%/' THEN substr(u2, 1, length(u2) - 1) ELSE u2 END
+"""
+
+URL_CTE_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS url FROM documents
+), f AS (
+  SELECT doc_id, url,
+         CASE WHEN instr(url, '#') > 0
+              THEN substr(url, 1, instr(url, '#') - 1) ELSE url END AS u1
+  FROM raw
+), q AS (
+  SELECT doc_id, url, u1, instr(u1, '?') AS qp FROM f
+), n AS (
+  SELECT doc_id, url,
+         CASE WHEN qp = 0 THEN u1
+              WHEN contains(u1, 'medium.com') THEN substr(u1, 1, qp - 1)
+              WHEN contains(substr(u1, qp), 'utm_')
+                   OR contains(substr(u1, qp), 'fbclid=')
+                   OR contains(substr(u1, qp), 'gclid=')
+              THEN substr(u1, 1, qp - 1)
+              ELSE u1 END AS u2
+  FROM q
+), canon AS (
+  SELECT doc_id, url,
+         CASE WHEN u2 LIKE '%/' THEN substr(u2, 1, length(u2) - 1)
+              ELSE u2 END AS url_canon
+  FROM n
+)
+"""
+
+BASE_DOMAIN_SQL = """
+CASE WHEN instr(u, '://') = 0 THEN substr(u, 1, 511)
+     ELSE substr(u, 1, instr(u, '://') - 1) || '://'
+          || split_part(substr(u, instr(u, '://') + 3), '/', 1) END
+"""
+
+
+def _valid_sql(url_expr: str, base_domain_literal: str) -> str:
+    ext = " OR ".join(
+        f"contains(lower({url_expr}), '{e}')" for e in BLOCKED_EXTENSIONS)
+    return f"""(
+  {url_expr} IS NOT NULL AND {url_expr} <> ''
+  AND ({url_expr} LIKE 'http://%' OR {url_expr} LIKE 'https://%')
+  AND NOT ({ext})
+  AND (CASE WHEN contains({url_expr}, 'medium.com') THEN
+         NOT (contains({url_expr}, 'medium.com/m/signin')
+              OR contains({url_expr}, 'medium.com/m/signout')
+              OR contains({url_expr}, 'medium.com/plans')
+              OR contains({url_expr}, 'help.medium.com')
+              OR contains({url_expr}, 'policy.medium.com'))
+         AND (contains({url_expr}, 'medium.com/@')
+              OR contains({url_expr}, '/p/') OR contains({url_expr}, '/tag/')
+              OR contains({url_expr}, '/topics/')
+              OR contains({url_expr}, 'medium.com/'))
+       ELSE contains({url_expr}, {base_domain_literal}) END)
+)"""
+
+
+PRIORITY_SQL = """
+CASE WHEN contains(url, 'medium.com') THEN
+     CASE WHEN contains(url, '/tagged/') THEN 3
+          WHEN contains(url, '/@') AND NOT contains(url, '/followers') THEN 4
+          WHEN contains(url, '/p/') THEN 5 ELSE 1 END
+ELSE CASE WHEN contains(url, '/article/') OR contains(url, '/post/')
+               OR contains(url, '/blog/') OR contains(url, '/story/') THEN 4
+          WHEN contains(url, '/category/') OR contains(url, '/tag/')
+               OR contains(url, '/topics/') THEN 3
+          WHEN contains(url, '/page/') OR contains(url, '?page=') THEN 2
+          ELSE 1 END END
+"""
+
+# --- tokenizer CTE (shared by index/BM25/dedup oracles) ---------------------
+
+_RX = TOKEN_SPLIT_REGEX.replace("'", "''")
+
+TOK_CTE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{_RX}')) AS t,
+         generate_subscripts(string_split_regex(text, '{_RX}'), 1) AS ord
+  FROM documents
+), tok AS (
+  SELECT doc_id, lower(t) AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE t <> ''
+), kept AS (
+  SELECT doc_id, term, pos FROM tok
+  WHERE term NOT IN ('the', 'a', 'an', 'in', 'of') AND length(term) <= 100
+)
+"""
+
+# case-preserving surface tokens (dedup/simhash family)
+SURF_CTE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{_RX}')) AS t,
+         generate_subscripts(string_split_regex(text, '{_RX}'), 1) AS ord
+  FROM documents
+), tok AS (
+  SELECT doc_id, t AS token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE t <> ''
+)
+"""
+
+SHINGLE_CTE = SURF_CTE + """
+, sh AS (
+  SELECT doc_id,
+         token || ' ' || lead(token, 1) OVER w || ' '
+               || lead(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), shingles AS (
+  SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+)
+"""
+
+
+def _phash_sql(e: str) -> str:
+    return D.phash_sql(e)
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- F1/F2/F5/F6: URL kernel over synthesized URLs ---------------------------
+
+@q("url_normalize", URL_CTE_SQL + """
+SELECT doc_id, url, url_canon FROM canon""")
+def q_url_normalize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    return docs.select("doc_id", u.alias("url"),
+                       normalize_url_col(u).alias("url_canon"))
+
+
+@q("url_base_domain", f"""
+WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS u
+             FROM documents)
+SELECT doc_id, u AS url, {BASE_DOMAIN_SQL} AS base_domain,
+       CASE WHEN instr({BASE_DOMAIN_SQL}, '://') = 0 THEN {BASE_DOMAIN_SQL}
+            ELSE substr({BASE_DOMAIN_SQL},
+                        instr({BASE_DOMAIN_SQL}, '://') + 3) END AS host
+FROM raw""")
+def q_url_base_domain(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    return docs.select("doc_id", u.alias("url"),
+                       base_domain_col(u).alias("base_domain"),
+                       host_col(u).alias("host"))
+
+
+@q("url_valid", f"""
+WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS url
+             FROM documents)
+SELECT doc_id, url,
+       CAST({_valid_sql('url', "'example.com'")} AS INT) AS is_valid
+FROM raw""")
+def q_url_valid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    return docs.select(
+        "doc_id", u.alias("url"),
+        valid_crawl_url_col(u, F.lit("example.com")).cast("int")
+        .alias("is_valid"))
+
+
+@q("url_priority", f"""
+WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS url
+             FROM documents)
+SELECT doc_id, url, ({PRIORITY_SQL}) AS priority FROM raw""")
+def q_url_priority(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    return docs.select("doc_id", u.alias("url"),
+                       url_priority_col(u, u).alias("priority"))
+
+
+# --- C4/C7/C2 analogs over events/orders -------------------------------------
+
+@q("per_parent_cap", """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+)
+SELECT user_id, event_id, rk FROM ranked WHERE rk <= 20""")
+def q_per_parent_cap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 20).select("user_id", "event_id", "rk"))
+
+
+@q("anti_join_dedup", """
+SELECT c.c_custkey FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NULL""")
+def q_anti_join_dedup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey,
+                     "left_anti").select("c_custkey")
+
+
+@q("first_occurrence", """
+WITH r AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS occ
+  FROM events
+)
+SELECT event_type, event_id, user_id FROM r WHERE occ = 1""")
+def q_first_occurrence(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (ev.withColumn("occ", F.row_number().over(w))
+            .where(F.col("occ") == 1)
+            .select("event_type", "event_id", "user_id"))
+
+
+@q("politeness_budget", """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS fetched,
+       SUM(CASE WHEN rk > 5 THEN 1 ELSE 0 END) AS deferred
+FROM ranked GROUP BY user_id""")
+def q_politeness_budget(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("rk") <= 5, 1).otherwise(0))
+                 .alias("fetched"),
+                 F.sum(F.when(F.col("rk") > 5, 1).otherwise(0))
+                 .alias("deferred")))
+
+
+@q("host_rank", """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT source, n_docs,
+       rank() OVER (ORDER BY n_docs DESC, source) AS rnk
+FROM c""")
+def q_host_rank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("source"))
+    return c.withColumn("rnk", F.rank().over(w))
+
+
+# --- index build (A1-A4) ------------------------------------------------------
+
+@q("postings", TOK_CTE + """
+SELECT term, doc_id, COUNT(*) AS tf FROM kept GROUP BY term, doc_id""")
+def q_postings(spark, sf_dir):
+    return IX.build_postings(_t(spark, sf_dir, "documents"))
+
+
+@q("doc_lengths", TOK_CTE + """
+SELECT doc_id, COUNT(*) AS dl FROM kept GROUP BY doc_id""")
+def q_doc_lengths(spark, sf_dir):
+    return IX.build_doc_stats(_t(spark, sf_dir, "documents"))
+
+
+@q("corpus_stats", TOK_CTE + """
+SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT term) AS unique_terms,
+       COUNT(DISTINCT doc_id) AS total_docs,
+       COUNT(*) / COUNT(DISTINCT doc_id) AS avg_dl
+FROM kept""")
+def q_corpus_stats(spark, sf_dir):
+    return IX.corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+@q("term_df", TOK_CTE + """
+SELECT term, COUNT(DISTINCT doc_id) AS df FROM kept GROUP BY term""")
+def q_term_df(spark, sf_dir):
+    return IX.term_df(IX.build_postings(_t(spark, sf_dir, "documents")))
+
+
+# --- BM25 (R1-R3) -------------------------------------------------------------
+
+BM25_QUERY = "spark join window stream"
+
+ORACLE_BM25 = TOK_CTE + f"""
+, postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM kept
+               GROUP BY term, doc_id),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM kept GROUP BY doc_id),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n,
+                 SUM(dl) * 1.0 / COUNT(*) AS avg_dl FROM dl),
+qterms AS (SELECT unnest(['spark', 'join', 'window', 'stream']) AS term),
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * ((p.tf * (1.5 + 1)) / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / s.avg_dl)))
+         AS part
+  FROM postings p
+  JOIN qterms q ON p.term = q.term
+  JOIN dfs f ON f.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(SUM(part), 4) AS score
+FROM scored GROUP BY doc_id HAVING SUM(part) > 0
+ORDER BY round(SUM(part), 4) DESC, doc_id LIMIT 10"""
+
+
+@q("bm25_topk", ORACLE_BM25)
+def q_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    out = RK.rank_bm25(postings, stats, BM25_QUERY, top_k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --- F12: OpenMP stemmer ------------------------------------------------------
+
+_SPECIAL_GROUPS = [
+    (("microservice", "microservices"), "microservice"),
+    (("api", "apis"), "api"),
+    (("database", "databases"), "database"),
+    (("index", "indices", "indexes"), "index"),
+    (("cloud", "clouds"), "cloud"),
+    (("container", "containers"), "container"),
+]
+
+
+def _stem_sql(t: str) -> str:
+    specials = " ".join(
+        f"WHEN {t} IN ({', '.join(repr(w) for w in ws)}) THEN '{out}'"
+        for ws, out in _SPECIAL_GROUPS)
+    return f"""
+CASE WHEN length({t}) <= 2 THEN {t}
+     {specials}
+     WHEN {t} LIKE '%s' THEN
+       CASE WHEN length({t}) > 3 AND substr({t}, length({t}) - 2, 2) = 'ie'
+            THEN substr({t}, 1, length({t}) - 3) || 'y'
+            WHEN substr({t}, length({t}) - 1, 1) = 'e' THEN
+              CASE WHEN length({t}) > 3
+                        AND (substr({t}, length({t}) - 2, 1) IN ('s','x','z')
+                             OR (length({t}) > 4 AND
+                                 substr({t}, length({t}) - 3, 2) IN ('ch','sh')))
+                   THEN substr({t}, 1, length({t}) - 1)
+                   ELSE substr({t}, 1, length({t}) - 2) END
+            ELSE substr({t}, 1, length({t}) - 1) END
+     ELSE {t} END"""
+
+
+def stem_openmp_col(t):
+    """OpenMP stemmer as a Column (mirrors kernel.text.stem_openmp)."""
+    expr = F
+    w = t
+    res = F.when(F.length(w) <= 2, w)
+    for ws, out in _SPECIAL_GROUPS:
+        res = res.when(w.isin(*ws), F.lit(out))
+    ies = (F.length(w) > 3) & (F.substring(w, -3, 2) == "ie")
+    keep_e = (F.length(w) > 3) & (
+        F.substring(w, -3, 1).isin("s", "x", "z")
+        | ((F.length(w) > 4) & F.substring(w, -4, 2).isin("ch", "sh")))
+    es_case = F.when(ies, F.concat(w.substr(F.lit(1), F.length(w) - 3),
+                                   F.lit("y"))) \
+        .when(F.substring(w, -2, 1) == "e",
+              F.when(keep_e, w.substr(F.lit(1), F.length(w) - 1))
+              .otherwise(w.substr(F.lit(1), F.length(w) - 2))) \
+        .otherwise(w.substr(F.lit(1), F.length(w) - 1))
+    return res.when(w.endswith("s"), es_case).otherwise(w)
+
+
+@q("stem_openmp", TOK_CTE + f"""
+SELECT term, {_stem_sql('term')} AS stemmed, COUNT(*) AS n
+FROM kept GROUP BY term""")
+def q_stem_openmp(spark, sf_dir):
+    toks = IX.doc_tokens(_t(spark, sf_dir, "documents"))
+    return (toks.groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .select("term", stem_openmp_col(F.col("term")).alias("stemmed"),
+                    "n"))
+
+
+# --- TPC-H-style relational coverage -----------------------------------------
+
+@q("lineitem_agg", """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""")
+def q_lineitem_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@q("nation_revenue_topk", """
+SELECT n.n_name, round(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name LIMIT 10""")
+def q_nation_revenue_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")).limit(10))
+
+
+@q("customer_running_total", """
+SELECT o_custkey, o_orderkey,
+       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders WHERE o_custkey < 50""")
+def q_customer_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("running_total"))
+
+
+@q("sessionize", """
+WITH g AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+         CASE WHEN epoch_ms(ts)
+                   - lag(epoch_ms(ts), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, event_id,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g""")
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tms", F.unix_millis(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = (Window.partitionBy("user_id").orderBy("tms", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    new_sess = F.when(
+        F.col("tms") - F.lag("tms", 1).over(w) > 1800000, 1).otherwise(0)
+    return (ev.withColumn("new_sess", new_sess)
+            .select("user_id", "event_id",
+                    F.sum("new_sess").over(ws).alias("session_id")))
+
+
+# --- dedup family -------------------------------------------------------------
+
+@q("dedup_exact", """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+       COUNT(*) AS group_size
+FROM documents GROUP BY md5(text)""")
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _mh_min_sql(j: int) -> str:
+    salted = "'" + str(j) + ":' || shingle"
+    return f"MIN({D.phash_sql(salted)}) AS mh_{j}"
+
+
+_MH_MINS_SQL = ",\n       ".join(_mh_min_sql(j) for j in range(D.NUM_PERM))
+
+
+@q("minhash_signatures", SHINGLE_CTE + f"""
+SELECT doc_id, {_MH_MINS_SQL}
+FROM shingles GROUP BY doc_id""")
+def q_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_BAND_KEYS_SQL = ", ".join(
+    "md5(" + " || '_' || ".join(
+        f"CAST(mh_{b * D.LSH_ROWS + r} AS VARCHAR)"
+        for r in range(D.LSH_ROWS)) + f") AS bucket_{b}"
+    for b in range(D.LSH_BANDS))
+
+_BAND_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, bucket_{b} AS bucket FROM sig"
+    for b in range(D.LSH_BANDS))
+
+
+@q("minhash_lsh_pairs", SHINGLE_CTE + f"""
+, sigraw AS (
+  SELECT doc_id, {_MH_MINS_SQL}
+  FROM shingles GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_BAND_KEYS_SQL} FROM sigraw
+), buckets AS ({_BAND_UNION_SQL})
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       COUNT(DISTINCT l.band) AS n_bands
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id""")
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SIM_VOTES_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN tf ELSE -tf END) AS v_{k}"
+    for k in range(D.SIMHASH_BITS))
+_SIM_SUM_SQL = " + ".join(
+    f"(CASE WHEN v_{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+    for k in range(D.SIMHASH_BITS))
+
+
+@q("simhash", SURF_CTE + f"""
+, tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), hashed AS (
+  SELECT doc_id, tf, {D.phash_sql('token')} AS h FROM tf
+), votes AS (
+  SELECT doc_id, {_SIM_VOTES_SQL} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({_SIM_SUM_SQL}) AS simhash FROM votes""")
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+@q("ngram_jaccard_pairs", SHINGLE_CTE + """
+, dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common) >= 0.05""")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                 threshold=0.05)
+
+
+# --- similarity search --------------------------------------------------------
+
+_DIM = 64
+_QIDS = list(range(8))
+
+
+def _qdot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST(round(CAST({a}[{i}] AS DOUBLE) * 1000000) AS BIGINT)"
+        f" * CAST(round(CAST({b}[{i}] AS DOUBLE) * 1000000) AS BIGINT)"
+        for i in range(1, _DIM + 1))
+
+
+ORACLE_COSINE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, _QIDS))})),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(({_qdot_sql('q.qv', 'c.cv')}) /
+               (sqrt({_qdot_sql('q.qv', 'q.qv')})
+                * sqrt({_qdot_sql('c.cv', 'c.cv')})), 6) AS cos
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5"""
+
+
+@q("cosine_topk", ORACLE_COSINE)
+def q_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), _QIDS, k=5)
+
+
+@q("lsh_buckets")  # rows-only: float-dot plane signs aren't portable SQL
+def q_lsh_buckets(spark, sf_dir):
+    return SIM.hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+# --- text analysis ------------------------------------------------------------
+
+_LANG_SCORES_SQL = ",\n       ".join(
+    f"""SUM(CASE WHEN term IN ({', '.join(repr(m) for m in ms)})
+        THEN 1 ELSE 0 END) AS s_{lang}"""
+    for lang, ms in TS.LANG_MARKERS.items())
+_BEST_SQL = "GREATEST(" + ", ".join(
+    f"s_{lang}" for lang in TS.LANG_MARKERS) + ")"
+_PRED_SQL = "CASE WHEN " + _BEST_SQL + " = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lang} = {_BEST_SQL} THEN '{lang}'"
+    for lang in sorted(TS.LANG_MARKERS)) + " ELSE 'und' END"
+
+
+@q("lang_id", f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '{_RX}')) AS term
+  FROM documents
+), tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+scores AS (
+  SELECT d.doc_id, {_LANG_SCORES_SQL}
+  FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, {_PRED_SQL} AS lang_pred,
+       CAST({_BEST_SQL} AS INT) AS lang_score
+FROM scores""")
+def q_lang_id(spark, sf_dir):
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@q("quality_score", f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '{_RX}')) AS term
+  FROM documents
+), tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+tstats AS (
+  SELECT d.doc_id,
+         COUNT(t.term) AS n_tokens,
+         SUM(CASE WHEN t.term IN ('the','a','an','in','of')
+             THEN 1 ELSE 0 END) AS n_stop
+  FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+), cstats AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS space
+  FROM documents
+)
+SELECT c.doc_id, c.n_chars, t.n_tokens,
+       round(c.alpha * 1.0 / GREATEST(c.n_chars, 1), 6) AS alpha_ratio,
+       round(c.space * 1.0 / GREATEST(c.n_chars, 1), 6) AS space_ratio,
+       round(t.n_stop * 1.0 / GREATEST(t.n_tokens, 1), 6) AS stopword_ratio,
+       CAST(c.n_chars >= 10
+            AND c.alpha * 1.0 / GREATEST(c.n_chars, 1) > 0.4
+            AND c.space * 1.0 / GREATEST(c.n_chars, 1) > 0.05
+            AND c.space * 1.0 / GREATEST(c.n_chars, 1) < 0.3 AS INT)
+       AS quality
+FROM cstats c JOIN tstats t ON t.doc_id = c.doc_id""")
+def q_quality_score(spark, sf_dir):
+    return TS.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q("token_counts", f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                       x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TS.BPE_REGEX}')) AS bpe_tokens
+FROM documents""")
+def q_token_counts(spark, sf_dir):
+    return TS.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@q("fingerprint", f"""
+SELECT doc_id, {D.phash_sql('text')} AS fp64 FROM documents""")
+def q_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@q("rolling_fingerprint")  # rows-only: imperative pandas-UDF path
+def q_rolling_fingerprint(spark, sf_dir):
+    from .operators.multimodal import rolling_fingerprint
+
+    return rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@q("media_features")  # rows-only: stubbed codec seam (fake=True)
+def q_media_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_media_df
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_df(spark, docs)
+    feats = extract_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes", "checksum")
+
+
+@q("crawl_smoke")  # rows-only: the flagship pipeline on a tiny synthetic web
+def q_crawl_smoke(spark, sf_dir):
+    import tempfile
+
+    import pandas as pd
+
+    from .operators.crawl import CrawlConfig, run_crawl
+    from .sources.synth import corpus_rows, page_url
+
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=12, n_medium=0,
+                            n_tiny_per_host=1))
+    pdf = pd.DataFrame(rows)[["url", "warc_ts", "html", "lang"]]
+    pages_df = spark.createDataFrame(pdf)
+    workdir = tempfile.mkdtemp(prefix="crawl_smoke_")
+    run_crawl(spark, pages_df, [page_url(0, 0)], workdir,
+              CrawlConfig(max_depth=2, max_pages=8))
+    return spark.read.parquet(f"{workdir}/round=*/events.parquet") \
+        .select("seq", "round", "url", "action", "depth")
