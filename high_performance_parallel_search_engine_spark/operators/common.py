@@ -7,19 +7,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
+def with_global_seq_counted(df: DataFrame, order_cols: list[str],
+                            col_name: str = "seq",
+                            offset: int = 0) -> tuple[DataFrame, int]:
+    """Deterministic dense global sequence following `order_cols`, fully
+    JVM-side and distributed (no single-partition sort, no Python row
+    round-trip): range-repartition + per-partition sort (materialized), a
+    tiny per-partition count collect, then row_number within partition plus
+    the partition's global offset. The serial reference's FIFO positions
+    become this column. Returns (df_with_seq, row_count).
+    """
+    from pyspark.sql import Window
+
+    sdf = (df.repartitionByRange(*order_cols)
+           .sortWithinPartitions(*order_cols)
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint(eager=True))
+    counts = {r["_pid"]: r["n"] for r in
+              sdf.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    offsets = {}
+    acc = offset
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv])
+        off = F.coalesce(omap[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (sdf.withColumn(
+        col_name,
+        (F.row_number().over(w) - 1 + off).cast(LongType()))
+        .drop("_pid"))
+    return out, total
+
+
 def with_global_seq(df: DataFrame, order_cols: list[str],
                     col_name: str = "seq", offset: int = 0) -> DataFrame:
-    """Deterministic dense global sequence following `order_cols`, without a
-    single-partition window: range-repartition + per-partition sort, then
-    zipWithIndex (which offsets per-partition counts - two passes, fully
-    distributed). The serial reference's FIFO positions become this column.
-    """
-    if not df.take(1):
-        return df.withColumn(col_name, F.lit(None).cast(LongType()))
-    sdf = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    schema = sdf.schema.add(col_name, LongType())
-    rdd = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + offset))
-    return sdf.sparkSession.createDataFrame(rdd, schema)
+    return with_global_seq_counted(df, order_cols, col_name, offset)[0]
 
 
 def seen_anti_join(candidates: DataFrame, seen: DataFrame,

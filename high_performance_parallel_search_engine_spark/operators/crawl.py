@@ -55,7 +55,7 @@ from ..functions.urlsql import (
     valid_crawl_url_col,
 )
 from .arbitrate import MAX_LINKS_PER_PAGE, arbitrate
-from .common import seen_anti_join, with_global_seq
+from .common import seen_anti_join, with_global_seq_counted
 from .politeness import apply_budget, delay_ms_col
 from .robots import apply_robots
 
@@ -100,6 +100,7 @@ class CrawlState:
     fail_carry: int = 0
     next_seq: int = 0
     next_event_seq: int = 0
+    next_frontier_rows: int = 0
     stopped: str | None = None
     metrics: list[dict] = field(default_factory=list)
 
@@ -130,9 +131,11 @@ def init_crawl(spark: SparkSession, seeds: list[str], workdir: str,
     fdf.write.mode("overwrite").parquet(str(d / "frontier_next.parquet"))
     fdf.select("url").write.mode("overwrite").parquet(
         str(d / "url_seen_delta.parquet"))
-    state = CrawlState(round=0, next_seq=seq, next_event_seq=0)
+    state = CrawlState(round=0, next_seq=seq, next_event_seq=0,
+                       next_frontier_rows=len(rows))
     # the init manifest records round=-1 so load_state resumes AT round 0
-    _write_manifest(d, CrawlState(round=-1, next_seq=seq), config,
+    _write_manifest(d, CrawlState(round=-1, next_seq=seq,
+                                  next_frontier_rows=len(rows)), config,
                     {"seeds": len(rows)})
     return state
 
@@ -142,7 +145,9 @@ def _write_manifest(d: Path, state: CrawlState, config: CrawlConfig,
     (d / "manifest.json").write_text(json.dumps({
         "round": state.round, "pages_crawled": state.pages_crawled,
         "fail_carry": state.fail_carry, "next_seq": state.next_seq,
-        "next_event_seq": state.next_event_seq, "stopped": state.stopped,
+        "next_event_seq": state.next_event_seq,
+        "next_frontier_rows": state.next_frontier_rows,
+        "stopped": state.stopped,
         "config": config.to_json(), "metrics": metrics,
     }, indent=1))
 
@@ -166,7 +171,9 @@ def load_state(workdir: str) -> tuple[CrawlState, CrawlConfig, int]:
     state = CrawlState(
         round=m["round"] + 1, pages_crawled=m["pages_crawled"],
         fail_carry=m["fail_carry"], next_seq=m["next_seq"],
-        next_event_seq=m["next_event_seq"], stopped=m["stopped"])
+        next_event_seq=m["next_event_seq"],
+        next_frontier_rows=m.get("next_frontier_rows", 0),
+        stopped=m["stopped"])
     return state, config, m["round"]
 
 
@@ -303,10 +310,10 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
                              F.lit("deferred").alias("action"),
                              F.lit(0).alias("delay_ms"))
     events = ev_att.unionByName(ev_den).unionByName(ev_def)
-    events = (with_global_seq(events.withColumnRenamed("seq", "frontier_seq"),
-                              ["frontier_seq"], "event_seq",
-                              offset=state.next_event_seq)
-              .withColumn("round", F.lit(rnd)))
+    events, n_events = with_global_seq_counted(
+        events.withColumnRenamed("seq", "frontier_seq"),
+        ["frontier_seq"], "event_seq", offset=state.next_event_seq)
+    events = events.withColumn("round", F.lit(rnd))
 
     # ---- extraction (one Arrow pass; html joined only for successes) ----
     succ = att.where(F.col("ok")).drop("ok", "attempted")
@@ -335,7 +342,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     url_seen = _read_url_seen(spark, workdir, rnd)
     new_cands = seen_anti_join(cands, url_seen)
     children = arbitrate(new_cands, cap=config.max_links_per_page,
-                         mode=config.arbitration)
+                         mode=config.arbitration).localCheckpoint(eager=True)
 
     # ---- next frontier: deferred first (old seq order), then children ----
     child_rows = children.select(
@@ -354,8 +361,8 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     nxt = def_rows.unionByName(child_rows)
     if state.stopped:
         nxt = nxt.limit(0)
-    next_frontier = with_global_seq(nxt, ["_k0", "_k1", "_k2", "_k3"],
-                                    "seq", offset=state.next_seq)
+    next_frontier, n_next = with_global_seq_counted(
+        nxt, ["_k0", "_k1", "_k2", "_k3"], "seq", offset=state.next_seq)
     next_frontier = next_frontier.drop("_k0", "_k1", "_k2", "_k3") \
         .select([f.name for f in FRONTIER_SCHEMA.fields])
 
@@ -370,17 +377,17 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     children.select("url").write.mode("overwrite").parquet(
         str(d / "url_seen_delta.parquet"))
 
-    # ---- metrics + lineage ----
-    ev_counts = {r["action"]: r["cnt"] for r in
-                 spark.read.parquet(str(d / "events.parquet"))
-                 .groupBy("action").agg(F.count("*").alias("cnt")).collect()}
+    # ---- metrics + lineage (one agg each over already-materialized dfs) ----
+    ev_rows = (events.groupBy("action")
+               .agg(F.count("*").alias("cnt"),
+                    F.sum("delay_ms").alias("delay")).collect())
+    ev_counts = {r["action"]: r["cnt"] for r in ev_rows}
+    delay_sum = sum(r["delay"] or 0 for r in ev_rows)
     fetched = ev_counts.get("fetched", 0)
     part_lineage = [
         {"partition": r["lineage_partition"], "pages": r["cnt"]}
-        for r in spark.read.parquet(str(d / "pages.parquet"))
-        .groupBy("lineage_partition").agg(F.count("*").alias("cnt")).collect()]
-    delay_sum = (spark.read.parquet(str(d / "events.parquet"))
-                 .agg(F.sum("delay_ms").alias("s")).collect()[0]["s"]) or 0
+        for r in extracted.groupBy("lineage_partition")
+        .agg(F.count("*").alias("cnt")).collect()]
     n_children = children.count()
     n_cands = cands.count()
     metrics = {
@@ -389,14 +396,16 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
         "dedup_dropped": n_cands - n_children,
         "politeness_delay_ms_total": int(delay_sum),
         "lineage_partitions": part_lineage,
+        "next_frontier_rows": n_next,
         "wall_sec": round(time.monotonic() - t0, 3),
     }
     (d / "metrics.json").write_text(json.dumps(metrics, indent=1))
 
     # ---- advance state ----
     state.pages_crawled += fetched
-    state.next_seq += next_frontier.count()
-    state.next_event_seq += events.count()
+    state.next_frontier_rows = n_next
+    state.next_seq += n_next
+    state.next_event_seq += n_events
     if not state.stopped:
         if state.pages_crawled >= config.max_pages:
             state.stopped = "max_pages"
@@ -420,12 +429,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
     else:
         state = init_crawl(spark, seeds, workdir, config)
     while state.round < config.max_rounds and not state.stopped:
-        prev = _round_dir(workdir, state.round - 1) / "frontier_next.parquet"
-        n = spark.read.parquet(str(prev)).count()
-        if n == 0:
+        if state.next_frontier_rows == 0:
             state.stopped = "frontier_empty"
             break
         m = run_round(spark, pages, workdir, state, config)
         state.metrics.append(m)
         state.round += 1
+    if not state.stopped and state.next_frontier_rows == 0:
+        state.stopped = "frontier_empty"
     return state
