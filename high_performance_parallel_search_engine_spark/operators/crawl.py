@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -85,12 +86,17 @@ class CrawlConfig:
     arbitration: str = "exact"              # 'exact' | 'scale' | 'auto'
     use_bloom: bool = True
     max_rounds: int = 64                    # safety rail
+    # trace=False: throughput mode - skips the event trace, dense seq
+    # assignment and stop machinery (requires unbounded max_pages/
+    # failure_stop); ordering keys stay deterministic but not FIFO-dense.
+    # Exact-parity crawls use trace=True (default).
+    trace: bool = True
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in (
             "max_depth", "max_pages", "failure_stop", "max_links_per_page",
             "default_budget", "politeness", "robots", "priority",
-            "arbitration", "use_bloom", "max_rounds")}
+            "arbitration", "use_bloom", "max_rounds", "trace")}
 
 
 @dataclass
@@ -200,10 +206,113 @@ def _robots_df(spark: SparkSession, config: CrawlConfig) -> DataFrame | None:
                                  "host string, rule string, path_prefix string")
 
 
+def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
+                   state: CrawlState, config: CrawlConfig) -> dict:
+    """Throughput-mode round (config.trace=False): same dataflow as
+    run_round minus the event trace, dense-seq assignment and stop cutoffs -
+    ~3 job-synchronization points per round instead of ~9. Requires
+    effectively-unbounded max_pages/failure_stop (asserted); frontier
+    ordering keys remain deterministic (xxhash64) so dedup tie-breaks are
+    reproducible, but are NOT the serial FIFO trace."""
+    assert config.max_pages >= 10**9 and config.failure_stop >= 10**9, \
+        "trace=False requires unbounded stop conditions"
+    t0 = time.monotonic()
+    rnd = state.round
+    d = _round_dir(workdir, rnd)
+    d.mkdir(parents=True, exist_ok=True)
+    frontier = spark.read.parquet(
+        str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
+
+    f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
+    f = apply_robots(f, _robots_df(spark, config))
+    f = f.where(F.col("robots_ok")).drop("robots_ok")
+    default_budget = (config.politeness or {}).get("*")
+    ranked = apply_budget(f, _budgets_df(spark, config), default_budget)
+    deferred = ranked.where(~F.col("fetch_now")).drop("fetch_now", "host_rank")
+    fetchset = ranked.where(F.col("fetch_now")).drop("fetch_now", "host_rank")
+
+    enriched = fetchset.join(pages.select("url", "html", "warc_ts", "lang"),
+                             "url", "left")
+    succ = enriched.where(
+        F.col("html").isNotNull() & (F.length("html") > 100)
+        & is_html_content_url_col(F.col("url")))
+    succ = succ.withColumn("_skip_links",
+                           F.col("depth") >= F.lit(config.max_depth))
+    extracted = html_text_and_links(succ, skip_links_col="_skip_links")
+    extracted = (extracted.drop("html")
+                 .withColumn("lineage_partition", F.spark_partition_id())
+                 .localCheckpoint(eager=True))
+
+    pages_out = extracted.select(
+        "url", F.lit(rnd).alias("round"), "seq", "depth", "parent_url",
+        "host", "text", "warc_ts", "lang", "lineage_partition")
+    cands = (
+        extracted.where(~F.col("_skip_links"))
+        .select(F.col("seq").alias("parent_seq"),
+                F.col("url").alias("parent_url_c"),
+                F.col("depth").alias("parent_depth"),
+                F.col("base_domain"),
+                F.posexplode("links").alias("link_idx", "url"))
+        .where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
+    )
+    url_seen = _read_url_seen(spark, workdir, rnd)
+    children = arbitrate(seen_anti_join(cands, url_seen),
+                         cap=config.max_links_per_page,
+                         mode="scale").localCheckpoint(eager=True)
+
+    child_rows = children.select(
+        "url", host_col(F.col("url")).alias("host"),
+        (F.col("parent_depth") + 1).alias("depth"),
+        F.col("parent_url_c").alias("parent_url"), "base_domain",
+        F.xxhash64("url").alias("seq"))
+    next_frontier = deferred.select(*[f_.name for f_ in FRONTIER_SCHEMA.fields]) \
+        .unionByName(child_rows.select(
+            *[f_.name for f_ in FRONTIER_SCHEMA.fields]))
+
+    jobs = {
+        "w_pages": lambda: pages_out.write.mode("overwrite").parquet(
+            str(d / "pages.parquet")),
+        "w_frontier": lambda: next_frontier.write.mode("overwrite").parquet(
+            str(d / "frontier_next.parquet")),
+        "w_seen": lambda: children.select("url").write.mode("overwrite")
+        .parquet(str(d / "url_seen_delta.parquet")),
+        "lineage": lambda: (extracted.groupBy("lineage_partition")
+                            .agg(F.count("*").alias("cnt")).collect()),
+        "n_children": lambda: children.count(),
+    }
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = {k: pool.submit(fn) for k, fn in jobs.items()}
+        res = {k: fu.result() for k, fu in futs.items()}
+    n_next = spark.read.parquet(str(d / "frontier_next.parquet")).count()
+    part_lineage = [{"partition": r["lineage_partition"], "pages": r["cnt"]}
+                    for r in res["lineage"]]
+    fetched = sum(p["pages"] for p in part_lineage)
+    metrics = {
+        "round": rnd, "fetched": fetched, "enqueued": res["n_children"],
+        "lineage_partitions": part_lineage, "next_frontier_rows": n_next,
+        "trace": False, "wall_sec": round(time.monotonic() - t0, 3),
+    }
+    (d / "metrics.json").write_text(json.dumps(metrics, indent=1))
+    state.pages_crawled += fetched
+    state.next_frontier_rows = n_next
+    _write_manifest(d, state, config, metrics)
+    return metrics
+
+
 def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
               state: CrawlState, config: CrawlConfig) -> dict:
     """Execute one BSP round; writes the round snapshot; mutates state."""
+    if not config.trace:
+        return run_round_fast(spark, pages, workdir, state, config)
     t0 = time.monotonic()
+    stage_wall: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(stage: str) -> None:
+        now = time.monotonic()
+        stage_wall[stage] = round(now - _last[0], 3)
+        _last[0] = now
+
     rnd = state.round
     d = _round_dir(workdir, rnd)
     d.mkdir(parents=True, exist_ok=True)
@@ -230,6 +339,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
                         & is_html_content_url_col(F.col("url")))
             .drop("_hlen"))
     meta = meta.localCheckpoint(eager=True)  # fetch gate reused 3x below
+    _mark("fetch_gate")
 
     # ---- stop cutoff (maxPages + consecutive failures) ----
     remaining = config.max_pages - state.pages_crawled
@@ -292,6 +402,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
             else:
                 state.fail_carry += n_att
 
+    _mark("stop_cutoff")
     att = attempted.where(F.col("attempted"))
     if stop_seq is not None:
         denied = denied.where(F.col("seq") < stop_seq)
@@ -314,6 +425,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
         events.withColumnRenamed("seq", "frontier_seq"),
         ["frontier_seq"], "event_seq", offset=state.next_event_seq)
     events = events.withColumn("round", F.lit(rnd))
+    _mark("events_seq")
 
     # ---- extraction (one Arrow pass; html joined only for successes) ----
     succ = att.where(F.col("ok")).drop("ok", "attempted")
@@ -321,9 +433,10 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
                            F.col("depth") >= F.lit(config.max_depth))
     enriched = succ.join(pages.select("url", "html", "warc_ts", "lang"), "url")
     extracted = html_text_and_links(enriched, skip_links_col="_skip_links")
-    extracted = extracted.withColumn("lineage_partition",
-                                     F.spark_partition_id())
+    extracted = (extracted.drop("html")  # never checkpoint raw bytes
+                 .withColumn("lineage_partition", F.spark_partition_id()))
     extracted = extracted.localCheckpoint(eager=True)  # cut html lineage
+    _mark("extraction")
 
     pages_out = extracted.select(
         "url", F.lit(rnd).alias("round"), "seq", "depth", "parent_url",
@@ -343,6 +456,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     new_cands = seen_anti_join(cands, url_seen)
     children = arbitrate(new_cands, cap=config.max_links_per_page,
                          mode=config.arbitration).localCheckpoint(eager=True)
+    _mark("arbitration")
 
     # ---- next frontier: deferred first (old seq order), then children ----
     child_rows = children.select(
@@ -365,31 +479,45 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
         nxt, ["_k0", "_k1", "_k2", "_k3"], "seq", offset=state.next_seq)
     next_frontier = next_frontier.drop("_k0", "_k1", "_k2", "_k3") \
         .select([f.name for f in FRONTIER_SCHEMA.fields])
+    _mark("frontier_seq")
 
-    # ---- persist snapshot (manifest last = commit marker) ----
-    events.select("event_seq", *[c for c in EVENT_COLS if c != "seq"],
-                  "frontier_seq") \
-        .withColumnRenamed("event_seq", "seq") \
-        .write.mode("overwrite").parquet(str(d / "events.parquet"))
-    pages_out.write.mode("overwrite").parquet(str(d / "pages.parquet"))
-    next_frontier.write.mode("overwrite").parquet(
-        str(d / "frontier_next.parquet"))
-    children.select("url").write.mode("overwrite").parquet(
-        str(d / "url_seen_delta.parquet"))
-
-    # ---- metrics + lineage (one agg each over already-materialized dfs) ----
-    ev_rows = (events.groupBy("action")
-               .agg(F.count("*").alias("cnt"),
-                    F.sum("delay_ms").alias("delay")).collect())
-    ev_counts = {r["action"]: r["cnt"] for r in ev_rows}
-    delay_sum = sum(r["delay"] or 0 for r in ev_rows)
+    # ---- persist snapshot + metric aggs, driver-thread-parallel: all six
+    # actions read already-materialized (checkpointed) inputs, so they are
+    # independent jobs the scheduler can interleave (manifest still last =
+    # commit marker)
+    ev_out = (events.select("event_seq",
+                            *[c for c in EVENT_COLS if c != "seq"],
+                            "frontier_seq")
+              .withColumnRenamed("event_seq", "seq"))
+    jobs = {
+        "w_events": lambda: ev_out.write.mode("overwrite").parquet(
+            str(d / "events.parquet")),
+        "w_pages": lambda: pages_out.write.mode("overwrite").parquet(
+            str(d / "pages.parquet")),
+        "w_frontier": lambda: next_frontier.write.mode("overwrite").parquet(
+            str(d / "frontier_next.parquet")),
+        "w_seen": lambda: children.select("url").write.mode("overwrite")
+        .parquet(str(d / "url_seen_delta.parquet")),
+        "ev_rows": lambda: (events.groupBy("action")
+                            .agg(F.count("*").alias("cnt"),
+                                 F.sum("delay_ms").alias("delay")).collect()),
+        "lineage": lambda: (extracted.groupBy("lineage_partition")
+                            .agg(F.count("*").alias("cnt")).collect()),
+        "n_children": lambda: children.count(),
+        "n_cands": lambda: cands.count(),
+    }
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = {k: pool.submit(fn) for k, fn in jobs.items()}
+        res = {k: f.result() for k, f in futs.items()}
+    ev_counts = {r["action"]: r["cnt"] for r in res["ev_rows"]}
+    delay_sum = sum(r["delay"] or 0 for r in res["ev_rows"])
     fetched = ev_counts.get("fetched", 0)
     part_lineage = [
         {"partition": r["lineage_partition"], "pages": r["cnt"]}
-        for r in extracted.groupBy("lineage_partition")
-        .agg(F.count("*").alias("cnt")).collect()]
-    n_children = children.count()
-    n_cands = cands.count()
+        for r in res["lineage"]]
+    n_children = res["n_children"]
+    n_cands = res["n_cands"]
+    _mark("writes_and_metrics")
     metrics = {
         "round": rnd, "events": ev_counts, "fetched": fetched,
         "candidates": n_cands, "enqueued": n_children,
@@ -398,6 +526,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
         "lineage_partitions": part_lineage,
         "next_frontier_rows": n_next,
         "wall_sec": round(time.monotonic() - t0, 3),
+        "stage_wall": stage_wall,
     }
     (d / "metrics.json").write_text(json.dumps(metrics, indent=1))
 

@@ -77,11 +77,23 @@ def _zipf_target(rng: random.Random, n: int) -> int:
 
 
 def _links_for_page(rng: random.Random, h: int, p: int, n_hosts: int,
-                    pages_per_host: int, n_medium: int) -> list[tuple[str, str]]:
-    """(href_attr_value, anchor_text) pairs, ~30 per page pre-filter."""
+                    pages_per_host: int, n_medium: int,
+                    link_mode: str = "zipf") -> list[tuple[str, str]]:
+    """(href_attr_value, anchor_text) pairs, ~30 per page pre-filter.
+
+    link_mode 'zipf' (default): hot-page skew, duplicates, partial reach -
+    exercises dedup. 'tree': page p links to distinct children 18p+1..18p+18
+    (full deterministic reach, no dedup loss) - the bench corpus shape where
+    crawl size is exactly predictable."""
     links: list[tuple[str, str]] = []
+    if link_mode == "tree":
+        base_child = 18 * p
+        for k in range(1, 19):
+            t = base_child + k
+            if t < pages_per_host:
+                links.append((page_url(h, t), f"page {t}"))
     # same-host absolute links (the crawlable core), Zipf-ish targets
-    for _ in range(rng.randint(10, 14)):
+    for _ in range(rng.randint(10, 14) if link_mode == "zipf" else 0):
         t = _zipf_target(rng, pages_per_host)
         url = page_url(h, t)
         style = rng.random()
@@ -93,7 +105,7 @@ def _links_for_page(rng: random.Random, h: int, p: int, n_hosts: int,
             url += f"?utm_source=synth&v={rng.randint(1, 9)}"  # tracking
         links.append((url, f"page {t}"))
     # relative forms resolving to same-host pages
-    for _ in range(rng.randint(3, 5)):
+    for _ in range(rng.randint(3, 5) if link_mode == "zipf" else 0):
         t = _zipf_target(rng, pages_per_host)
         form = rng.random()
         if form < 0.4:
@@ -117,8 +129,11 @@ def _links_for_page(rng: random.Random, h: int, p: int, n_hosts: int,
     links.append((f"#frag{p}", "anchor"))
     links.append((f"/static/img{p}.png", "img"))
     links.append((f"/assets/site.css", "css"))
-    # dead link (no such page -> fetch failure when enqueued)
-    links.append((f"https://{host_name(h)}/p/{pages_per_host + 1000 + p}", "dead"))
+    # dead link (no such page -> fetch failure when enqueued); tree mode
+    # keeps the graph failure-free so bench counts are exact
+    if link_mode == "zipf":
+        links.append(
+            (f"https://{host_name(h)}/p/{pages_per_host + 1000 + p}", "dead"))
     # duplicate of an earlier link (self-dedup exercise)
     if links:
         links.append(links[0])
@@ -127,8 +142,10 @@ def _links_for_page(rng: random.Random, h: int, p: int, n_hosts: int,
 
 
 def _host_page_html(rng: random.Random, h: int, p: int, n_hosts: int,
-                    pages_per_host: int, n_medium: int) -> bytes:
-    links = _links_for_page(rng, h, p, n_hosts, pages_per_host, n_medium)
+                    pages_per_host: int, n_medium: int,
+                    link_mode: str = "zipf", pad_paras: int = 0) -> bytes:
+    links = _links_for_page(rng, h, p, n_hosts, pages_per_host, n_medium,
+                            link_mode)
     parts = [
         "<!DOCTYPE html><html>",
         f"<head><title>Page {p} of {host_name(h)} &amp; friends</title>",
@@ -139,7 +156,7 @@ def _host_page_html(rng: random.Random, h: int, p: int, n_hosts: int,
         "<body>",
         f"<h1>Host {h} page {p}</h1>",
     ]
-    for i in range(rng.randint(2, 4)):
+    for i in range(rng.randint(2, 4) + pad_paras):
         para = rng.choice(_PARA_POOL)
         ent = rng.choice(_ENTITY_SNIPPETS)
         parts.append(f"<p>{para} {ent} (p{p}s{i})</p>")
@@ -190,14 +207,16 @@ def _medium_page_html(rng: random.Random, k: int, n_medium: int,
 
 
 def page_record(kind: str, h: int, p: int, *, n_hosts: int, pages_per_host: int,
-                n_medium: int, seed: int, with_oracle_text: bool = True) -> dict:
+                n_medium: int, seed: int, with_oracle_text: bool = True,
+                link_mode: str = "zipf", pad_paras: int = 0) -> dict:
     """Pure per-page generator. kind: 'host' | 'medium_profile' |
     'medium_article' | 'tiny' (fails the >100-byte fetch gate)."""
     # string seeds hash via sha512 - stable across processes/interpreters
     rng = random.Random(f"{seed}:{kind}:{h}:{p}")
     if kind == "host":
         url = page_url(h, p)
-        html = _host_page_html(rng, h, p, n_hosts, pages_per_host, n_medium)
+        html = _host_page_html(rng, h, p, n_hosts, pages_per_host, n_medium,
+                               link_mode, pad_paras)
         lang = "en" if p % 17 else "xx"
     elif kind == "medium_profile":
         url = medium_profile_url(p)
@@ -225,9 +244,11 @@ def page_record(kind: str, h: int, p: int, *, n_hosts: int, pages_per_host: int,
 
 def corpus_rows(n_hosts: int = 3, pages_per_host: int = 25, n_medium: int = 12,
                 n_tiny_per_host: int = 2, seed: int = 42,
-                with_oracle_text: bool = True) -> Iterator[dict]:
+                with_oracle_text: bool = True, link_mode: str = "zipf",
+                pad_paras: int = 0) -> Iterator[dict]:
     kw = dict(n_hosts=n_hosts, pages_per_host=pages_per_host,
-              n_medium=n_medium, seed=seed, with_oracle_text=with_oracle_text)
+              n_medium=n_medium, seed=seed, with_oracle_text=with_oracle_text,
+              link_mode=link_mode, pad_paras=pad_paras)
     for h in range(n_hosts):
         for p in range(pages_per_host):
             yield page_record("host", h, p, **kw)
@@ -259,6 +280,7 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 def build_corpus_df(spark, n_hosts: int = 3, pages_per_host: int = 25,
                     n_medium: int = 12, n_tiny_per_host: int = 2,
                     seed: int = 42, with_oracle_text: bool = True,
+                    link_mode: str = "zipf", pad_paras: int = 0,
                     distributed_threshold: int = 20_000):
     """Pages DataFrame. Small corpora are built on the driver; large ones are
     generated distributed: a (kind, h, p) spine via spark.range, expanded
@@ -271,13 +293,15 @@ def build_corpus_df(spark, n_hosts: int = 3, pages_per_host: int = 25,
         pdf = pd.DataFrame(list(corpus_rows(
             n_hosts=n_hosts, pages_per_host=pages_per_host, n_medium=n_medium,
             n_tiny_per_host=n_tiny_per_host, seed=seed,
-            with_oracle_text=with_oracle_text)))
+            with_oracle_text=with_oracle_text, link_mode=link_mode,
+            pad_paras=pad_paras)))
         return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
 
     from pyspark.sql import functions as F
 
     kw = dict(n_hosts=n_hosts, pages_per_host=pages_per_host,
-              n_medium=n_medium, seed=seed, with_oracle_text=with_oracle_text)
+              n_medium=n_medium, seed=seed, with_oracle_text=with_oracle_text,
+              link_mode=link_mode, pad_paras=pad_paras)
 
     spine = spark.range(n_hosts * pages_per_host).select(
         (F.col("id") / pages_per_host).cast("int").alias("h"),
