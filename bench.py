@@ -83,61 +83,22 @@ def prepare_corpus(spark, path: str) -> None:
         .parquet(path)
 
 
-def run_crawl_bench(spark, corpus_path: str) -> dict:
-    from high_performance_parallel_search_engine_spark.operators.crawl import (
-        CrawlConfig, run_crawl,
-    )
-    from high_performance_parallel_search_engine_spark.sources.synth import (
-        medium_profile_url, page_url,
-    )
+def run_crawl_subprocess(threads: int, corpus_path: str,
+                         pin_cores: int | None) -> dict:
+    """Run the crawl in a fresh process; `pin_cores` limits the process to
+    that many physical cores via taskset so the N-vs-4N comparison is
+    honest (an unpinned local[8] borrows idle cores for Python workers)."""
+    import subprocess
 
-    pages = spark.read.parquet(corpus_path)
-    seeds = [page_url(h, 0) for h in range(N_HOSTS)]
-    if N_MEDIUM:
-        seeds.append(medium_profile_url(0))
-    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
-    cfg = CrawlConfig(max_depth=MAX_DEPTH, max_pages=1 << 40,
-                      failure_stop=1 << 40, arbitration="scale",
-                      max_rounds=MAX_DEPTH + 1, trace=False)
-    t0 = time.monotonic()
-    state = run_crawl(spark, pages, seeds, workdir, cfg)
-    wall = time.monotonic() - t0
-    rounds = state.round
-    shutil.rmtree(workdir, ignore_errors=True)
-    return {
-        "pages_fetched": state.pages_crawled,
-        "rounds": rounds,
-        "wall_sec": round(wall, 2),
-        "urls_per_sec": round(state.pages_crawled / wall, 2),
-        "rounds_per_hour": round(rounds / (wall / 3600), 1),
-    }
-
-
-def warmup(spark) -> None:
-    """Untimed mini-crawl: Catalyst analysis + codegen + Python worker
-    startup for the round pipeline (~30s one-time costs otherwise land in
-    the first timed round)."""
-    import shutil as _sh
-
-    from high_performance_parallel_search_engine_spark.operators.crawl import (
-        CrawlConfig, run_crawl,
-    )
-    from high_performance_parallel_search_engine_spark.sources.synth import (
-        build_corpus_df, page_url,
-    )
-
-    tiny = build_corpus_df(spark, n_hosts=1, pages_per_host=30, n_medium=0,
-                           with_oracle_text=False)
-    tp = tempfile.mkdtemp(prefix="warm_")
-    tiny.select("url", "warc_ts", "html", "lang").write.mode("overwrite") \
-        .parquet(tp + "/p")
-    wd = tempfile.mkdtemp(prefix="warm_wd_")
-    run_crawl(spark, spark.read.parquet(tp + "/p"), [page_url(0, 0)], wd,
-              CrawlConfig(max_depth=2, max_pages=1 << 40,
-                          failure_stop=1 << 40, arbitration="scale",
-                          max_rounds=3, trace=False))
-    _sh.rmtree(tp, ignore_errors=True)
-    _sh.rmtree(wd, ignore_errors=True)
+    cmd = []
+    if pin_cores is not None:
+        cmd += ["taskset", "-c", f"0-{pin_cores - 1}"]
+    cmd += [sys.executable, "tools/bench_crawl.py", str(threads),
+            corpus_path, str(N_HOSTS), str(MAX_DEPTH)]
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def main() -> None:
@@ -150,19 +111,15 @@ def main() -> None:
     timings = phase_queries(spark_big)
     print("prep: synthetic corpus", file=sys.stderr)
     prepare_corpus(spark_big, corpus_path)
-
-    # --- phase 2: crawl throughput at N threads (after warmup)
-    print(f"phase 2: crawl at local[{CPUS}]", file=sys.stderr)
-    warmup(spark_big)
-    crawl_big = run_crawl_bench(spark_big, corpus_path)
     spark_big.stop()
 
-    # --- phase 3: same job at N/4 threads
-    print(f"phase 3: crawl at local[{SMALL_CPUS}]", file=sys.stderr)
-    spark_small = build_session(SMALL_CPUS)
-    warmup(spark_small)
-    crawl_small = run_crawl_bench(spark_small, corpus_path)
-    spark_small.stop()
+    # --- phases 2+3: same crawl job, same input, N vs 4N cores (pinned)
+    print(f"phase 2: crawl at local[{CPUS}] on {CPUS} cores", file=sys.stderr)
+    crawl_big = run_crawl_subprocess(CPUS, corpus_path, pin_cores=None)
+    print(f"phase 3: crawl at local[{SMALL_CPUS}] pinned to "
+          f"{SMALL_CPUS} cores", file=sys.stderr)
+    crawl_small = run_crawl_subprocess(SMALL_CPUS, corpus_path,
+                                       pin_cores=SMALL_CPUS)
 
     eff = crawl_big["urls_per_sec"] / (4 * crawl_small["urls_per_sec"]) \
         if crawl_small["urls_per_sec"] else 0.0

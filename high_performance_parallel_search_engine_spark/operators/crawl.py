@@ -217,6 +217,14 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     assert config.max_pages >= 10**9 and config.failure_stop >= 10**9, \
         "trace=False requires unbounded stop conditions"
     t0 = time.monotonic()
+    stage_wall: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(stage: str) -> None:
+        now = time.monotonic()
+        stage_wall[stage] = round(now - _last[0], 3)
+        _last[0] = now
+
     rnd = state.round
     d = _round_dir(workdir, rnd)
     d.mkdir(parents=True, exist_ok=True)
@@ -231,23 +239,38 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     deferred = ranked.where(~F.col("fetch_now")).drop("fetch_now", "host_rank")
     fetchset = ranked.where(F.col("fetch_now")).drop("fetch_now", "host_rank")
 
+    # INNER fetch join: failed fetches (absent urls) simply vanish - the
+    # fast path doesn't trace events. Inner (unlike the exact path's left
+    # join) lets Spark broadcast the small FRONTIER side, so the corpus scan
+    # stays in place and html bytes never enter an exchange. The hint is
+    # gated on the manifest-known frontier row count (estimates alone
+    # under-broadcast once frontiers pass ~10 MB).
+    if 0 < state.next_frontier_rows <= 3_000_000:
+        fetchset = F.broadcast(fetchset)
     enriched = fetchset.join(pages.select("url", "html", "warc_ts", "lang"),
-                             "url", "left")
+                             "url")
     succ = enriched.where(
-        F.col("html").isNotNull() & (F.length("html") > 100)
-        & is_html_content_url_col(F.col("url")))
+        (F.length("html") > 100) & is_html_content_url_col(F.col("url")))
     succ = succ.withColumn("_skip_links",
                            F.col("depth") >= F.lit(config.max_depth))
     extracted = html_text_and_links(succ, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")
-                 .withColumn("lineage_partition", F.spark_partition_id())
-                 .localCheckpoint(eager=True))
+                 .withColumn("lineage_partition", F.spark_partition_id()))
 
+    # ONE materialization: extraction runs during the pages.parquet write
+    # (links + base_domain stored too - useful lineage); candidates re-read
+    # the written file with `text` pruned away, so page bodies are never
+    # double-copied through the block manager.
     pages_out = extracted.select(
         "url", F.lit(rnd).alias("round"), "seq", "depth", "parent_url",
-        "host", "text", "warc_ts", "lang", "lineage_partition")
+        "host", "text", "links", "base_domain", "warc_ts", "lang",
+        "lineage_partition")
+    pages_out.write.mode("overwrite").parquet(str(d / "pages.parquet"))
+    stored = spark.read.parquet(str(d / "pages.parquet"))
+    _mark("extract_write")
+
     cands = (
-        extracted.where(~F.col("_skip_links"))
+        stored.where(F.col("depth") < config.max_depth)
         .select(F.col("seq").alias("parent_seq"),
                 F.col("url").alias("parent_url_c"),
                 F.col("depth").alias("parent_depth"),
@@ -259,6 +282,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     children = arbitrate(seen_anti_join(cands, url_seen),
                          cap=config.max_links_per_page,
                          mode="scale").localCheckpoint(eager=True)
+    _mark("arbitrate_ckpt")
 
     child_rows = children.select(
         "url", host_col(F.col("url")).alias("host"),
@@ -270,19 +294,18 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
             *[f_.name for f_ in FRONTIER_SCHEMA.fields]))
 
     jobs = {
-        "w_pages": lambda: pages_out.write.mode("overwrite").parquet(
-            str(d / "pages.parquet")),
         "w_frontier": lambda: next_frontier.write.mode("overwrite").parquet(
             str(d / "frontier_next.parquet")),
         "w_seen": lambda: children.select("url").write.mode("overwrite")
         .parquet(str(d / "url_seen_delta.parquet")),
-        "lineage": lambda: (extracted.groupBy("lineage_partition")
+        "lineage": lambda: (stored.groupBy("lineage_partition")
                             .agg(F.count("*").alias("cnt")).collect()),
         "n_children": lambda: children.count(),
     }
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         futs = {k: pool.submit(fn) for k, fn in jobs.items()}
         res = {k: fu.result() for k, fu in futs.items()}
+    _mark("writes_and_metrics")
     n_next = spark.read.parquet(str(d / "frontier_next.parquet")).count()
     part_lineage = [{"partition": r["lineage_partition"], "pages": r["cnt"]}
                     for r in res["lineage"]]
@@ -291,6 +314,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
         "round": rnd, "fetched": fetched, "enqueued": res["n_children"],
         "lineage_partitions": part_lineage, "next_frontier_rows": n_next,
         "trace": False, "wall_sec": round(time.monotonic() - t0, 3),
+        "stage_wall": stage_wall,
     }
     (d / "metrics.json").write_text(json.dumps(metrics, indent=1))
     state.pages_crawled += fetched
@@ -431,6 +455,8 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     succ = att.where(F.col("ok")).drop("ok", "attempted")
     succ = succ.withColumn("_skip_links",
                            F.col("depth") >= F.lit(config.max_depth))
+    if 0 < state.next_frontier_rows <= 3_000_000:
+        succ = F.broadcast(succ)
     enriched = succ.join(pages.select("url", "html", "warc_ts", "lang"), "url")
     extracted = html_text_and_links(enriched, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")  # never checkpoint raw bytes

@@ -18,11 +18,19 @@ def explain_text(df: DataFrame, mode: str = "formatted") -> str:
         df._jdf.queryExecution(), mode)
 
 
-def plan_checks(df: DataFrame) -> dict:
-    """Quick structural facts about the physical plan."""
+def plan_checks(df: DataFrame, execute: bool = True) -> dict:
+    """Quick structural facts about the physical plan. Under AQE the
+    codegen markers only appear in the FINAL plan, so by default the df is
+    executed (count) before reading the plan."""
     txt = explain_text(df)
+    if execute and "AdaptiveSparkPlan" in txt and "codegen id" not in txt:
+        # must execute THIS dataset (count() builds a different plan whose
+        # AQE finalization doesn't touch df's own queryExecution)
+        df.collect()
+        txt = explain_text(df)
     return {
-        "whole_stage_codegen": "WholeStageCodegen" in txt,
+        "whole_stage_codegen": ("WholeStageCodegen" in txt
+                                or "codegen id" in txt),
         "broadcast_joins": txt.count("BroadcastHashJoin"),
         "sortmerge_joins": txt.count("SortMergeJoin"),
         "shuffles": txt.count("Exchange"),

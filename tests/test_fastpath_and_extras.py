@@ -1,0 +1,165 @@
+"""Coverage for the throughput round path, streaming formulation,
+multimodal plumbing, and physical plan shapes."""
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from high_performance_parallel_search_engine_spark.kernel.bfs import crawl as oracle_crawl
+from high_performance_parallel_search_engine_spark.operators.crawl import (
+    CrawlConfig,
+    run_crawl,
+)
+from high_performance_parallel_search_engine_spark.sources.synth import (
+    corpus_rows,
+    page_url,
+)
+
+
+def _pages_df(spark, rows):
+    pdf = pd.DataFrame(rows)[["url", "warc_ts", "html", "lang"]]
+    return spark.createDataFrame(pdf)
+
+
+def test_fast_round_matches_oracle_fetch_set(spark, tmp_path):
+    """trace=False + scale arbitration must fetch the same URL SET as the
+    serial oracle (order may differ; the set and counts may not) on a
+    dedup-heavy zipf corpus."""
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=40, n_medium=6,
+                            with_oracle_text=False))
+    pages = {r["url"]: r["html"] for r in rows}
+    seeds = [page_url(0, 0), page_url(1, 0)]
+    expected = oracle_crawl(pages, seeds, max_depth=4, max_pages=1 << 40,
+                            failure_stop=1 << 40)
+    wd = str(tmp_path / "fast")
+    state = run_crawl(spark, _pages_df(spark, rows), seeds, wd,
+                      CrawlConfig(max_depth=4, max_pages=1 << 40,
+                                  failure_stop=1 << 40, arbitration="scale",
+                                  max_rounds=6, trace=False))
+    got = {r["url"] for r in
+           spark.read.parquet(f"{wd}/round=*/pages.parquet").collect()}
+    assert got == set(expected.fetch_order)
+    assert state.pages_crawled == expected.pages_crawled
+
+
+def test_fast_round_resume(spark, tmp_path):
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=30, n_medium=0,
+                            with_oracle_text=False))
+    seeds = [page_url(0, 0)]
+    cfg = CrawlConfig(max_depth=3, max_pages=1 << 40, failure_stop=1 << 40,
+                      arbitration="scale", trace=False, max_rounds=1)
+    wd = str(tmp_path / "r")
+    run_crawl(spark, _pages_df(spark, rows), seeds, wd, cfg)
+    import json
+    from pathlib import Path
+    for mf in Path(wd).glob("round=*/manifest.json"):
+        m = json.loads(mf.read_text())
+        m["config"]["max_rounds"] = 8
+        mf.write_text(json.dumps(m))
+    state = run_crawl(spark, _pages_df(spark, rows), seeds, wd, resume=True)
+    assert state.stopped == "frontier_empty"
+    expected = oracle_crawl({r["url"]: r["html"] for r in rows}, seeds,
+                            max_depth=3, max_pages=1 << 40,
+                            failure_stop=1 << 40)
+    got = {r["url"] for r in
+           spark.read.parquet(f"{wd}/round=*/pages.parquet").collect()}
+    assert got == set(expected.fetch_order)
+
+
+def test_streaming_politeness_monitor(spark, tmp_path):
+    from high_performance_parallel_search_engine_spark.streaming.frontier_stream import (
+        politeness_monitor,
+        read_pages_stream,
+    )
+
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=10, n_medium=4,
+                            with_oracle_text=False))
+    src = str(tmp_path / "pages_src")
+    _pages_df(spark, rows).write.parquet(src)
+    stream = read_pages_stream(spark, src)
+    assert stream.isStreaming
+    mon = politeness_monitor(stream, window="1 hour", watermark="2 hours")
+    q = (mon.writeStream.format("memory").queryName("mon")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from mon").collect()
+    assert out
+    hosts = {r["host"] for r in out}
+    assert "medium.com" in hosts
+    total = sum(r["fetches"] for r in out)
+    assert total == len(rows)
+
+
+def test_streaming_candidates_foreachbatch(spark, tmp_path):
+    from high_performance_parallel_search_engine_spark.streaming.frontier_stream import (
+        stream_candidates_to_frontier,
+    )
+
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=12, n_medium=0,
+                            with_oracle_text=False))
+    src = str(tmp_path / "src")
+    _pages_df(spark, rows).write.parquet(src)
+    seen = str(tmp_path / "seen")
+    spark.createDataFrame([(page_url(0, 0),)], "url string") \
+        .write.parquet(seen)
+    out = str(tmp_path / "out")
+    q = stream_candidates_to_frontier(
+        spark, src, seen, out, str(tmp_path / "ck2"),
+        base_domain="https://host0.example.com")
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    urls = {r["url"] for r in got.collect()}
+    assert urls  # new candidates discovered
+    assert page_url(0, 0) not in urls  # seen urls were anti-joined away
+
+
+def test_multimodal_feature_plumbing(spark):
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        extract_features,
+        synth_media_df,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["abc", "defg", "hi"]}))
+    media = synth_media_df(spark, docs)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 3
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == 3
+    assert len(by_id[1]["feature"]) == 8
+    # stubbed codec seam raises without fake mode
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        _decode_stub,
+    )
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"x", "image", fake=False)
+
+
+def test_plan_shapes(spark):
+    """Physical-plan assertions: broadcast joins where intended, codegen on
+    the Column-only hot path, filter pushdown to parquet scans."""
+    from high_performance_parallel_search_engine_spark.oracles import QUERIES
+    from high_performance_parallel_search_engine_spark.plans.lineage import (
+        plan_checks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bm25 = QUERIES["bm25_topk"](spark, sf)
+    c = plan_checks(bm25)
+    assert c["whole_stage_codegen"]
+    assert c["broadcast_joins"] >= 2  # query terms + df table broadcast
+
+    li = QUERIES["lineitem_agg"](spark, sf)
+    c2 = plan_checks(li)
+    assert c2["pushed_filters"], "shipdate filter must push to the scan"
+    assert c2["python_evals"] == 0, "relational path must stay JVM-side"
+
+    urls = QUERIES["url_normalize"](spark, sf)
+    c3 = plan_checks(urls)
+    assert c3["python_evals"] == 0, "canonicalization hot path is codegen"
+    assert c3["shuffles"] == 0, "per-row projection must not shuffle"

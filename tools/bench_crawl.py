@@ -1,0 +1,79 @@
+"""Single crawl-throughput run (invoked by bench.py, optionally under
+`taskset` so 'N cores' genuinely means N cores - local[8] on an idle 32-core
+box otherwise borrows free cores for its Python workers and the N->4N
+comparison is unfair to the larger setting).
+
+Usage: python tools/bench_crawl.py <threads> <corpus_path> <n_hosts> <depth>
+Prints one JSON line with the run stats.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    threads = int(sys.argv[1])
+    corpus_path = sys.argv[2]
+    n_hosts = int(sys.argv[3])
+    depth = int(sys.argv[4])
+
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig, run_crawl,
+    )
+    from high_performance_parallel_search_engine_spark.session import build_session
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df, page_url,
+    )
+
+    spark = build_session(f"bench-crawl-{threads}",
+                          master=f"local[{threads}]",
+                          shuffle_partitions=threads,
+                          extra_conf={
+                              "spark.sql.files.maxPartitionBytes": "8388608"})
+
+    # warmup: tiny crawl compiles the round pipeline + spawns workers
+    tiny = build_corpus_df(spark, n_hosts=1, pages_per_host=30, n_medium=0,
+                           with_oracle_text=False)
+    tp = tempfile.mkdtemp(prefix="warm_")
+    tiny.select("url", "warc_ts", "html", "lang").write.mode("overwrite") \
+        .parquet(tp + "/p")
+    wwd = tempfile.mkdtemp(prefix="warm_wd_")
+    run_crawl(spark, spark.read.parquet(tp + "/p"), [page_url(0, 0)], wwd,
+              CrawlConfig(max_depth=2, max_pages=1 << 40,
+                          failure_stop=1 << 40, arbitration="scale",
+                          max_rounds=3, trace=False))
+    shutil.rmtree(tp, ignore_errors=True)
+    shutil.rmtree(wwd, ignore_errors=True)
+
+    pages = spark.read.parquet(corpus_path)
+    seeds = [page_url(h, 0) for h in range(n_hosts)]
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(max_depth=depth, max_pages=1 << 40,
+                      failure_stop=1 << 40, arbitration="scale",
+                      max_rounds=depth + 1, trace=False)
+    t0 = time.monotonic()
+    state = run_crawl(spark, pages, seeds, workdir, cfg)
+    wall = time.monotonic() - t0
+    out = {
+        "threads": threads,
+        "pages_fetched": state.pages_crawled,
+        "rounds": state.round,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(state.pages_crawled / wall, 2),
+        "rounds_per_hour": round(state.round / (wall / 3600), 1),
+        "round_walls": [m["wall_sec"] for m in state.metrics],
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
