@@ -101,6 +101,32 @@ def run_crawl_subprocess(threads: int, corpus_path: str,
     return json.loads(line)
 
 
+def hardware_ceiling() -> dict:
+    """Raw parallel-CPU scaling of this box (pure-python busy loops),
+    measured the same N-vs-4N way: the upper bound any CPU-bound job can
+    reach here. Firecracker vCPUs are not dedicated physical cores."""
+    import multiprocessing as mp
+
+    def _wall(procs: int, n: int = 12_000_000) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [n] * procs)
+        return time.perf_counter() - t0
+
+    w_small = _wall(SMALL_CPUS)
+    w_big = _wall(CPUS)
+    thr_small = SMALL_CPUS / w_small
+    thr_big = CPUS / w_big
+    return {"cpu_scaling_efficiency_n_to_4n": round(thr_big / (4 * thr_small), 3)}
+
+
+def _burn(n: int) -> float:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def main() -> None:
     total_t0 = time.monotonic()
     corpus_path = os.path.join(tempfile.gettempdir(), "bench_corpus.parquet")
@@ -136,6 +162,7 @@ def main() -> None:
             "urls_per_sec_small": crawl_small["urls_per_sec"],
             "urls_per_sec_big": crawl_big["urls_per_sec"],
             "efficiency_n_to_4n": round(eff, 3),
+            **hardware_ceiling(),
         },
     }
     shutil.rmtree(corpus_path, ignore_errors=True)

@@ -53,6 +53,10 @@ def main() -> None:
     shutil.rmtree(wwd, ignore_errors=True)
 
     pages = spark.read.parquet(corpus_path)
+    # warm the page cache + parquet footers so the timed run measures the
+    # engine, not cold disk
+    from pyspark.sql import functions as F
+    pages.select(F.sum(F.length("html"))).collect()
     seeds = [page_url(h, 0) for h in range(n_hosts)]
     workdir = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(max_depth=depth, max_pages=1 << 40,
