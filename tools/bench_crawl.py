@@ -46,9 +46,9 @@ def main() -> None:
         .parquet(tp + "/p")
     wwd = tempfile.mkdtemp(prefix="warm_wd_")
     run_crawl(spark, spark.read.parquet(tp + "/p"), [page_url(0, 0)], wwd,
-              CrawlConfig(max_depth=2, max_pages=1 << 40,
+              CrawlConfig(max_depth=depth, max_pages=1 << 40,
                           failure_stop=1 << 40, arbitration="scale",
-                          max_rounds=3, trace=False))
+                          max_rounds=depth + 1, trace=False))
     shutil.rmtree(tp, ignore_errors=True)
     shutil.rmtree(wwd, ignore_errors=True)
 
