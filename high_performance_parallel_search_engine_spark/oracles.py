@@ -794,6 +794,64 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", "checksum")
 
 
+@q("revenue_rollup", """
+SELECT n.n_name, o.o_orderpriority,
+       round(SUM(o.o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP (n.n_name, o.o_orderpriority)""")
+def q_revenue_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .rollup("n_name", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+@q("monthly_order_stats", """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       round(SUM(o_totalprice), 2) AS revenue,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1""")
+def q_monthly_order_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                      .alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.countDistinct("o_custkey").alias("n_customers")))
+
+
+# OpenMP tokenizer variant (OpenMP Version/src/parser.c:56-66): extra
+# delimiters /-_=+@ and a 3..50 token length filter.
+_RX_OMP = (TOKEN_SPLIT_REGEX[:-2] + "/\-_=+@]+").replace("'", "''")
+
+
+@q("tokenize_openmp", f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '{_RX_OMP}')) AS t
+  FROM documents
+)
+SELECT t AS term, COUNT(*) AS n FROM raw
+WHERE length(t) >= 3 AND length(t) <= 50
+  AND t NOT IN ('the', 'a', 'an', 'in', 'of')
+GROUP BY t""")
+def q_tokenize_openmp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), _RX_OMP.replace("''", "'"))
+    return (docs.select(F.explode(toks).alias("term"))
+            .where((F.length("term") >= 3) & (F.length("term") <= 50)
+                   & ~F.col("term").isin("the", "a", "an", "in", "of"))
+            .groupBy("term").agg(F.count("*").alias("n")))
+
+
 @q("crawl_smoke")  # rows-only: the flagship pipeline on a tiny synthetic web
 def q_crawl_smoke(spark, sf_dir):
     import tempfile
