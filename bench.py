@@ -139,13 +139,20 @@ def main() -> None:
     prepare_corpus(spark_big, corpus_path)
     spark_big.stop()
 
-    # --- phases 2+3: same crawl job, same input, N vs 4N cores (pinned)
-    print(f"phase 2: crawl at local[{CPUS}] on {CPUS} cores", file=sys.stderr)
-    crawl_big = run_crawl_subprocess(CPUS, corpus_path, pin_cores=None)
+    # --- phases 2+3: same crawl job, same input, N vs 4N cores (pinned).
+    # best-of-2 per level: the sandbox VM's effective CPU allocation
+    # fluctuates run-to-run (see cpu_scaling ceiling), best-of damps it.
+    def best_of(n_runs, threads, pin):
+        runs = [run_crawl_subprocess(threads, corpus_path, pin_cores=pin)
+                for _ in range(n_runs)]
+        return min(runs, key=lambda r: r["wall_sec"])
+
+    print(f"phase 2: crawl at local[{CPUS}] on {CPUS} cores (best of 2)",
+          file=sys.stderr)
+    crawl_big = best_of(2, CPUS, None)
     print(f"phase 3: crawl at local[{SMALL_CPUS}] pinned to "
-          f"{SMALL_CPUS} cores", file=sys.stderr)
-    crawl_small = run_crawl_subprocess(SMALL_CPUS, corpus_path,
-                                       pin_cores=SMALL_CPUS)
+          f"{SMALL_CPUS} cores (best of 2)", file=sys.stderr)
+    crawl_small = best_of(2, SMALL_CPUS, SMALL_CPUS)
 
     eff = crawl_big["urls_per_sec"] / (4 * crawl_small["urls_per_sec"]) \
         if crawl_small["urls_per_sec"] else 0.0
