@@ -101,6 +101,69 @@ def extract_features(media: DataFrame, fake: bool = True,
     return spread.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def _resize_stub(payload: bytes, w: int, h: int, fake: bool) -> bytes:
+    """CODEC SEAM: real deployments plug pillow here. Fake mode returns a
+    deterministic (w*h)-bounded byte slice so shapes are testable."""
+    if not fake:
+        raise NotImplementedError("image resize requires pillow")
+    return bytes(payload[: max(min(w * h, len(payload)), 1)])
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Batch image resize over binary payloads (mapInPandas; Arrow batch
+    shape identical to the real codec path)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [
+                    _resize_stub(bytes(p or b""), width, height, fake)
+                    for p in pdf["payload"]],
+                "width": width, "height": height,
+            })
+
+    return media.repartition("media_id").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  fake: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (flatMap
+    shape - rows expand). Fake mode slices the payload per frame index."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                if not fake:
+                    raise NotImplementedError("frame sampling requires pyav")
+                n = max(int(dur or 0) // every_ms, 1)
+                b = bytes(payload or b"\0")
+                for k in range(min(n, 16)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["frame"].append(b[k % len(b):][:32] or b"\0")
+            yield pd.DataFrame(out)
+
+    return media.repartition("media_id").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 ROLLING_FP_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("rolling_fp", LongType()),

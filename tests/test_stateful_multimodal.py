@@ -1,0 +1,74 @@
+"""applyInPandasWithState tracker + multimodal resize/frame-sample seams."""
+
+import pandas as pd
+import pytest
+
+from high_performance_parallel_search_engine_spark.sources.synth import corpus_rows
+
+
+def _pages_df(spark, rows):
+    pdf = pd.DataFrame(rows)[["url", "warc_ts", "html", "lang"]]
+    return spark.createDataFrame(pdf)
+
+
+def test_stateful_host_budget_tracker(spark, tmp_path):
+    from high_performance_parallel_search_engine_spark.streaming.stateful import (
+        host_budget_tracker,
+    )
+
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=8, n_medium=3,
+                            with_oracle_text=False))
+    src = str(tmp_path / "src")
+    # two separate files -> multiple input splits for the stream
+    half = len(rows) // 2
+    _pages_df(spark, rows[:half]).write.parquet(src + "/a.parquet")
+    _pages_df(spark, rows[half:]).write.mode("append").parquet(src + "/a.parquet")
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/a.parquet"))
+    out = host_budget_tracker(stream, budget=5)
+    q = (out.writeStream.format("memory").queryName("budget_track")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    res = spark.sql(
+        "select host, max(total_fetches) f, max(over_budget) ob "
+        "from budget_track group by host").collect()
+    got = {r["host"]: (r["f"], r["ob"]) for r in res}
+    expected_counts = {}
+    for r in rows:
+        h = r["url"].split("//")[1].split("/")[0]
+        expected_counts[h] = expected_counts.get(h, 0) + 1
+    for h, n in expected_counts.items():
+        assert got[h][0] == n, (h, got)
+        assert got[h][1] == (n > 5)
+
+
+def test_resize_and_frame_sample(spark):
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        _resize_stub,
+        resize_images,
+        sample_frames,
+        synth_media_df,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(9)),
+        "text": [f"document number {i} with some content" * (i + 1)
+                 for i in range(9)],
+    }))
+    media = synth_media_df(spark, docs)
+    resized = resize_images(media, width=4, height=4).collect()
+    assert resized and all(len(r["payload"]) <= 16 for r in resized)
+    frames = sample_frames(media, every_ms=100).collect()
+    assert frames
+    assert all(len(f["frame"]) <= 32 for f in frames)
+    # per-video frame_idx is dense from 0
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f["frame_idx"])
+    for idxs in by_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    with pytest.raises(NotImplementedError):
+        _resize_stub(b"x", 2, 2, fake=False)
