@@ -197,7 +197,14 @@ def crawl(pages: dict[str, bytes], seeds: list[str],
             res.url_seen_rounds.append(set(visited))
             break
         if priority:
-            children.sort(key=lambda c: -c[4])  # stable: discovery order ties
+            # north_rule priority queue: classifier desc, host in-degree
+            # (among this round's enqueued children) desc, then discovery
+            # order (recency tie-break). Stable sort keeps determinism.
+            host_deg: dict[str, int] = {}
+            for link, *_ in children:
+                h = url_host(link)
+                host_deg[h] = host_deg.get(h, 0) + 1
+            children.sort(key=lambda c: (-c[4], -host_deg[url_host(c[0])]))
         for link, d, parent, base_domain, _pr in children:
             next_frontier.append((link, d, parent, base_domain))
         res.url_seen_rounds.append(set(visited))

@@ -183,6 +183,28 @@ def load_state(workdir: str) -> tuple[CrawlState, CrawlConfig, int]:
     return state, config, m["round"]
 
 
+def compact_url_seen(spark: SparkSession, workdir: str,
+                     upto_round: int) -> int:
+    """Merge all url_seen deltas up to `upto_round` into the init delta dir
+    and remove the per-round ones - bounds the multi-dir union cost for
+    long crawls (call every k rounds at production scale). Returns the
+    compacted row count."""
+    import shutil as _sh
+
+    seen = _read_url_seen(spark, workdir, upto_round)
+    tmp = Path(workdir) / "_url_seen_compact.tmp"
+    seen.repartition(max(spark.sparkContext.defaultParallelism, 1)) \
+        .write.mode("overwrite").parquet(str(tmp))
+    n = spark.read.parquet(str(tmp)).count()
+    init = _round_dir(workdir, -1) / "url_seen_delta.parquet"
+    _sh.rmtree(init, ignore_errors=True)
+    tmp.rename(init)
+    for r in range(0, upto_round):
+        _sh.rmtree(_round_dir(workdir, r) / "url_seen_delta.parquet",
+                   ignore_errors=True)
+    return n
+
+
 def _read_url_seen(spark: SparkSession, workdir: str, upto_round: int) -> DataFrame:
     paths = [str(_round_dir(workdir, r) / "url_seen_delta.parquet")
              for r in range(-1, upto_round)]
@@ -484,26 +506,40 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
                          mode=config.arbitration).localCheckpoint(eager=True)
     _mark("arbitration")
 
-    # ---- next frontier: deferred first (old seq order), then children ----
-    child_rows = children.select(
-        "url", host_col(F.col("url")).alias("host"),
+    # ---- next frontier: deferred first (old seq order), then children.
+    # Priority mode (north_rule queue): classifier desc, host in-degree
+    # among this round's children desc, discovery order as recency
+    # tie-break - mirrors kernel/bfs.py exactly.
+    child_rows = children.withColumn("host", host_col(F.col("url")))
+    if config.priority:
+        indeg = child_rows.groupBy("host").agg(
+            F.count("*").alias("_indeg"))
+        child_rows = child_rows.join(F.broadcast(indeg), "host")
+        k1 = (-url_priority_col(F.col("url"), F.col("parent_url_c"))) \
+            .cast("long")
+        k1b = (-F.col("_indeg")).cast("long")
+    else:
+        k1 = F.lit(0).cast("long")
+        k1b = F.lit(0).cast("long")
+    child_rows = child_rows.select(
+        "url", "host",
         (F.col("parent_depth") + 1).alias("depth"),
         F.col("parent_url_c").alias("parent_url"),
         "base_domain",
-        F.lit(1).alias("_k0"),
-        (-url_priority_col(F.col("url"), F.col("parent_url_c"))
-         if config.priority else F.lit(0)).cast("long").alias("_k1"),
+        F.lit(1).alias("_k0"), k1.alias("_k1"), k1b.alias("_k1b"),
         F.col("parent_seq").alias("_k2"), F.col("link_idx").alias("_k3"))
     def_rows = deferred.select(
         "url", "host", "depth", "parent_url", "base_domain",
         F.lit(0).alias("_k0"), F.lit(0).cast("long").alias("_k1"),
+        F.lit(0).cast("long").alias("_k1b"),
         F.col("seq").alias("_k2"), F.lit(0).alias("_k3"))
     nxt = def_rows.unionByName(child_rows)
     if state.stopped:
         nxt = nxt.limit(0)
     next_frontier, n_next = with_global_seq_counted(
-        nxt, ["_k0", "_k1", "_k2", "_k3"], "seq", offset=state.next_seq)
-    next_frontier = next_frontier.drop("_k0", "_k1", "_k2", "_k3") \
+        nxt, ["_k0", "_k1", "_k1b", "_k2", "_k3"], "seq",
+        offset=state.next_seq)
+    next_frontier = next_frontier.drop("_k0", "_k1", "_k1b", "_k2", "_k3") \
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     _mark("frontier_seq")
 

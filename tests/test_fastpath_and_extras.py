@@ -163,3 +163,60 @@ def test_plan_shapes(spark):
     c3 = plan_checks(urls)
     assert c3["python_evals"] == 0, "canonicalization hot path is codegen"
     assert c3["shuffles"] == 0, "per-row projection must not shuffle"
+
+
+def test_priority_mode_exact_parity(spark, tmp_path, pages_df=None):
+    """Priority scheduling (classifier + host in-degree + recency) must
+    match the oracle EVENT-FOR-EVENT, not just per-round sets."""
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=30, n_medium=8,
+                            with_oracle_text=False))
+    pages = {r["url"]: r["html"] for r in rows}
+    seeds = ["https://medium.com/@user0", page_url(0, 0)]
+    expected = oracle_crawl(pages, seeds, max_depth=3, max_pages=10_000,
+                            priority=True)
+    wd = str(tmp_path / "prio")
+    run_crawl(spark, _pages_df(spark, rows), seeds, wd,
+              CrawlConfig(max_depth=3, max_pages=10_000, priority=True))
+    got = [
+        (r["seq"], r["url"], r["action"]) for r in
+        spark.read.parquet(f"{wd}/round=*/events.parquet")
+        .orderBy("seq").collect()]
+    want = [(e.seq, e.url, e.action) for e in expected.events]
+    assert got == want
+
+
+def test_url_seen_compaction_preserves_resume(spark, tmp_path):
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        compact_url_seen,
+        load_state,
+    )
+    import json
+    from pathlib import Path
+
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=40, n_medium=0,
+                            with_oracle_text=False))
+    pages = {r["url"]: r["html"] for r in rows}
+    seeds = [page_url(0, 0)]
+    # full reference run
+    w_full = str(tmp_path / "full")
+    run_crawl(spark, _pages_df(spark, rows), seeds, w_full,
+              CrawlConfig(max_depth=4, max_pages=10_000))
+    # partial run -> compact -> resume
+    w_c = str(tmp_path / "compacted")
+    run_crawl(spark, _pages_df(spark, rows), seeds, w_c,
+              CrawlConfig(max_depth=4, max_pages=10_000, max_rounds=2))
+    state, _, last = load_state(w_c)
+    n = compact_url_seen(spark, w_c, last + 1)
+    assert n > 0
+    for mf in Path(w_c).glob("round=*/manifest.json"):
+        m = json.loads(mf.read_text())
+        m["config"]["max_rounds"] = 64
+        mf.write_text(json.dumps(m))
+    run_crawl(spark, _pages_df(spark, rows), seeds, w_c, resume=True)
+    full_ev = [(r["seq"], r["url"], r["action"]) for r in
+               spark.read.parquet(f"{w_full}/round=*/events.parquet")
+               .orderBy("seq").collect()]
+    comp_ev = [(r["seq"], r["url"], r["action"]) for r in
+               spark.read.parquet(f"{w_c}/round=*/events.parquet")
+               .orderBy("seq").collect()]
+    assert full_ev == comp_ev
