@@ -397,6 +397,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     n_att, n_ok = agg["n"] or 0, agg["n_ok"] or 0
     n_fail = n_att - n_ok
     stop_seq = None
+    event_cut = None
     if n_ok < remaining and state.fail_carry + n_fail < config.failure_stop:
         # fast path: no stop can bind; everyone attempts
         attempted = meta.withColumn("attempted", F.lit(True))
@@ -427,9 +428,25 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
                         & (F.col("_consec") < F.lit(config.failure_stop)))
         )
         ordered = ordered.localCheckpoint(eager=True)
-        stop_row = (ordered.where(~F.col("attempted"))
-                    .agg(F.min("seq").alias("s")).collect()[0]["s"])
-        stop_seq = stop_row
+        agg2 = ordered.agg(
+            F.min(F.when(~F.col("attempted"), F.col("seq"))).alias("stop"),
+            # seq of the attempt that consumes the LAST remaining page /
+            # the failure that completes the consecutive-failure run: the
+            # serial loop breaks at its NEXT top-of-loop check, so every
+            # event row (attempt, deferral, robots denial) with a larger
+            # seq is never processed (crawler.c:1075)
+            F.min(F.when(F.col("ok")
+                         & (F.col("_cum_ok") + 1 == F.lit(remaining)),
+                         F.col("seq"))).alias("complete"),
+            F.min(F.when(~F.col("ok")
+                         & (F.col("_consec") + 1
+                            == F.lit(config.failure_stop)),
+                         F.col("seq"))).alias("fail_complete"),
+        ).collect()[0]
+        stop_seq = agg2["stop"]
+        cuts = [c for c in (agg2["complete"], agg2["fail_complete"])
+                if c is not None]
+        event_cut = min(cuts) if cuts else None
         attempted = ordered.drop("_cum_ok", "_pos", "_last_ok_pos", "_consec")
         if stop_seq is not None:
             state.stopped = ("max_pages"
@@ -453,6 +470,9 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     if stop_seq is not None:
         denied = denied.where(F.col("seq") < stop_seq)
         deferred = deferred.where(F.col("seq") < stop_seq)
+    if event_cut is not None:
+        denied = denied.where(F.col("seq") <= event_cut)
+        deferred = deferred.where(F.col("seq") <= event_cut)
 
     # ---- events ----
     ev_att = att.select(

@@ -179,3 +179,20 @@ def test_resume_equals_uninterrupted(spark, pages_df, tmp_path):
     part_pages = {(r["url"], r["seq"]) for r in
                   spark.read.parquet(f"{w_part}/round=*/pages.parquet").collect()}
     assert full_pages == part_pages
+
+
+def test_all_features_combined_parity(spark, pages_df, tmp_path):
+    """politeness + robots + priority together, event-for-event."""
+    seeds = seed_urls()
+    pol = {"*": 6, "host1.example.com": 2}
+    robots_rules = [("host2.example.com", "disallow", "/p/2"),
+                    ("medium.com", "allow", "/@")]
+    robots_dict = {}
+    for h, rule, pfx in robots_rules:
+        robots_dict.setdefault(h, []).append((rule, pfx))
+    _assert_parity(
+        spark, pages_df, tmp_path, seeds,
+        CrawlConfig(max_depth=3, max_pages=80, politeness=pol,
+                    robots=robots_rules, priority=True),
+        dict(max_depth=3, max_pages=80, politeness=pol,
+             robots=robots_dict, priority=True))
