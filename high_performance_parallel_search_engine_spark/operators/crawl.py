@@ -91,12 +91,16 @@ class CrawlConfig:
     # failure_stop); ordering keys stay deterministic but not FIFO-dense.
     # Exact-parity crawls use trace=True (default).
     trace: bool = True
+    # merge url_seen deltas every k completed rounds (None = never);
+    # bounds the multi-dir anti-join fan-in on long crawls
+    compact_every: int | None = None
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in (
             "max_depth", "max_pages", "failure_stop", "max_links_per_page",
             "default_budget", "politeness", "robots", "priority",
-            "arbitration", "use_bloom", "max_rounds", "trace")}
+            "arbitration", "use_bloom", "max_rounds", "trace",
+            "compact_every")}
 
 
 @dataclass
@@ -646,6 +650,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
         m = run_round(spark, pages, workdir, state, config)
         state.metrics.append(m)
         state.round += 1
+        if (config.compact_every
+                and state.round % config.compact_every == 0
+                and not state.stopped):
+            compact_url_seen(spark, workdir, state.round)
     if not state.stopped and state.next_frontier_rows == 0:
         state.stopped = "frontier_empty"
     return state

@@ -220,3 +220,19 @@ def test_url_seen_compaction_preserves_resume(spark, tmp_path):
                spark.read.parquet(f"{w_c}/round=*/events.parquet")
                .orderBy("seq").collect()]
     assert full_ev == comp_ev
+
+
+def test_auto_compaction_preserves_parity(spark, tmp_path):
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=40, n_medium=0,
+                            with_oracle_text=False))
+    pages = {r["url"]: r["html"] for r in rows}
+    seeds = [page_url(0, 0)]
+    expected = oracle_crawl(pages, seeds, max_depth=4, max_pages=10_000)
+    wd = str(tmp_path / "ac")
+    run_crawl(spark, _pages_df(spark, rows), seeds, wd,
+              CrawlConfig(max_depth=4, max_pages=10_000, compact_every=2))
+    got = [(r["seq"], r["url"], r["action"]) for r in
+           spark.read.parquet(f"{wd}/round=*/events.parquet")
+           .orderBy("seq").collect()]
+    want = [(e.seq, e.url, e.action) for e in expected.events]
+    assert got == want
