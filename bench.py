@@ -39,8 +39,8 @@ HEADLINE = [
 # full-host reach at depth 4 (1+18+324+5832), no dedup loss, predictable
 # crawl size; pad_paras controls page size so extraction (the genuine
 # per-page compute) dominates the fixed per-round cost.
-N_HOSTS = int(os.environ.get("BENCH_HOSTS", "48"))
-PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "6000"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "32"))
+PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "5000"))
 N_MEDIUM = int(os.environ.get("BENCH_MEDIUM", "0"))
 PAD_PARAS = int(os.environ.get("BENCH_PAD_PARAS", "24"))
 MAX_DEPTH = 4
