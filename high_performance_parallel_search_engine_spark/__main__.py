@@ -1,0 +1,159 @@
+"""CLI entrypoint mirroring the reference's job-submission contract.
+
+Reference: ``./bin/search_engine -c URL -d DEPTH -p PAGES`` (Serial
+Version/src/main.c:53-149; dashboard shell-out WebSite/api.py:106-120 adds
+``-t THREADS`` for OpenMP and ``-q QUERY``). This engine is an offline batch
+crawler over Common-Crawl-style page tables instead of a live HTTP client,
+so the page source is an input: ``--pages`` points at a parquet of
+(url, warc_ts, html, lang); without it a deterministic synthetic web is
+generated (sources/synth.py), which is also what every test crawls.
+
+Flag semantics kept from main.c:
+  -d clamps to 1..5 with the same warning (main.c:102-114)
+  -p clamps to 1..100 with the same warning (main.c:115-127)
+  -c on a medium.com/@ profile raises max_pages to >=20 (main.c:75-85)
+  -m USER crawls https://medium.com/@USER at depth 3, 25 pages
+     (main.c:119-139)
+  -t N sets parallelism (OpenMP -t; here the local[N] master / shuffle
+     partitions)
+  -q QUERY runs one BM25 query over the crawl's extracted text and prints
+     the top-10 (the reference enters an interactive prompt; one-shot here)
+
+Usage examples:
+  python -m high_performance_parallel_search_engine_spark -c https://host0.example.com/p/0/0 -d 3 -p 20
+  python -m high_performance_parallel_search_engine_spark -m user0 -q "spark join" --workdir /tmp/crawl
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m high_performance_parallel_search_engine_spark",
+        description="PySpark-native crawl + BM25 search "
+                    "(reference contract: -c URL -d DEPTH -p PAGES)")
+    ap.add_argument("-c", "--crawl", metavar="URL",
+                    help="crawl starting from URL")
+    ap.add_argument("-m", "--medium", metavar="USER",
+                    help="crawl the Medium profile USER (implies -d 3 -p 25)")
+    ap.add_argument("-d", "--depth", type=int, default=2,
+                    help="maximum crawl depth (default 2, clamped 1..5)")
+    ap.add_argument("-p", "--pages", type=int, default=10, dest="max_pages",
+                    help="maximum pages to crawl (default 10, clamped 1..100"
+                         " unless --no-clamp)")
+    ap.add_argument("-t", "--threads", type=int, default=None,
+                    help="parallelism (local[N] master + shuffle partitions)")
+    ap.add_argument("-q", "--query", help="BM25 query to run after the crawl")
+    ap.add_argument("--pages-table", metavar="PARQUET",
+                    help="parquet of (url, warc_ts, html, lang) to crawl "
+                         "over; default: deterministic synthetic web")
+    ap.add_argument("--workdir", help="checkpoint dir (default: temp dir)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the last committed round in --workdir")
+    ap.add_argument("--priority", choices=["fifo", "north", "openmp"],
+                    default="fifo", help="frontier scheduling mode")
+    ap.add_argument("--no-clamp", action="store_true",
+                    help="drop the reference's 100-page / depth-5 clamps "
+                         "(scale mode)")
+    return ap
+
+
+def _clamped_limits(args) -> tuple[int, int]:
+    depth, pages = args.depth, args.max_pages
+    if depth < 1:
+        depth = 1
+    if depth > 5 and not args.no_clamp:
+        print("Warning: High crawl depth may take a long time. "
+              "Limited to 5.")
+        depth = 5
+    if pages < 1:
+        pages = 1
+    if pages > 100 and not args.no_clamp:
+        print("Warning: High page limit may take a long time. "
+              "Limited to 100.")
+        pages = 100
+    return depth, pages
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not (args.crawl or args.medium):
+        build_parser().print_help()
+        return 0
+
+    from pyspark.sql import functions as F
+
+    from .operators.crawl import CrawlConfig, run_crawl
+    from .operators.index import build_doc_stats, build_postings
+    from .operators.ranking import rank_bm25
+    from .session import build_session
+    from .sources.synth import build_corpus_df
+
+    depth, max_pages = _clamped_limits(args)
+    if args.medium:
+        user = args.medium if args.medium.startswith("@") else "@" + args.medium
+        start_url = f"https://medium.com/{user}"
+        depth, max_pages = 3, 25
+        print(f"Crawling Medium profile: {start_url}")
+    else:
+        start_url = args.crawl
+        if "medium.com/@" in start_url and max_pages < 20:
+            max_pages = 20  # main.c:80-84
+            print("Medium profile detected. "
+                  f"Will crawl up to {max_pages} pages.")
+        print(f"Starting website crawl from URL: {start_url}")
+
+    master = f"local[{args.threads}]" if args.threads else None
+    spark = build_session("hppse-cli", master=master,
+                          shuffle_partitions=args.threads)
+    if args.pages_table:
+        pages = spark.read.parquet(args.pages_table) \
+            .select("url", "warc_ts", "html", "lang")
+    else:
+        pages = build_corpus_df(spark).select("url", "warc_ts", "html", "lang")
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="hppse-crawl-")
+    priority = {"fifo": False, "north": True, "openmp": "openmp"}[args.priority]
+    cfg = CrawlConfig(max_depth=depth, max_pages=max_pages, priority=priority)
+    t0 = time.perf_counter()
+    state = run_crawl(spark, pages, [start_url], workdir, cfg,
+                      resume=args.resume)
+    wall = time.perf_counter() - t0
+    if state.pages_crawled > 0:
+        print(f"Successfully crawled {state.pages_crawled} pages "
+              f"from {start_url}")
+    else:
+        print("Failed to crawl website from URL")
+        return 1
+    print(f"Crawl checkpoints: {workdir} "
+          f"(rounds={state.round + 1}, wall={wall:.2f}s, "
+          f"stop={state.stopped or 'frontier_empty'})")
+
+    if args.query:
+        docs = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
+                .select(F.col("seq").alias("doc_id"), "url", "text"))
+        postings = build_postings(docs)
+        stats = build_doc_stats(docs)
+        t1 = time.perf_counter()
+        top = rank_bm25(postings, stats, args.query, top_k=10,
+                        fallback=True).collect()
+        ms = (time.perf_counter() - t1) * 1000
+        by_id = {r["doc_id"]: r["url"]
+                 for r in docs.where(F.col("doc_id").isin(
+                     [r["doc_id"] for r in top] or [-1])).collect()}
+        print(f"Query processed in {ms:.2f} ms")
+        for rank, r in enumerate(top, 1):
+            print(f"{rank:2d}. doc {r['doc_id']} "
+                  f"score={r['score']:.4f} {by_id.get(r['doc_id'], '')}")
+        if not top:
+            print("No results.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

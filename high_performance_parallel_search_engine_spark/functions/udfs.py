@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.html import extract_links, html_to_text
+from ..kernel.html import extract_links, extract_title, html_to_text
 from ..kernel.urls import normalize_url
 
 EXTRACT_SCHEMA = StructType([
@@ -33,6 +33,14 @@ EXTRACT_SCHEMA = StructType([
 @F.pandas_udf(StringType())
 def normalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(normalize_url, na_action=None)
+
+
+@F.pandas_udf(StringType())
+def extract_title_udf(html: pd.Series) -> pd.Series:
+    """F9 (crawler.c:749-797) over binary html; empty string when absent."""
+    return html.map(
+        lambda h: extract_title(bytes(h) if h is not None else b"")
+        .decode("utf-8", errors="replace"), na_action=None)
 
 
 def _extract_one(html, base_url: str, max_depth_reached: bool):

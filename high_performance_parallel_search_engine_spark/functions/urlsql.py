@@ -89,6 +89,15 @@ def valid_crawl_url_col(url: Column, base_domain: Column) -> Column:
     )
 
 
+def url_diversity_col(url: Column) -> Column:
+    """Diversity score 0-3 (OpenMP Version/src/crawler.c:694-699);
+    /tag/-family checked first, mirroring kernel.urls.url_diversity."""
+    return (F.when(url.contains("/tag/") | url.contains("/topic/")
+                   | url.contains("/category/"), F.lit(2))
+            .when(url.contains("/@") | url.contains("/author/"), F.lit(3))
+            .otherwise(F.lit(0)))
+
+
 def is_html_content_url_col(url: Column) -> Column:
     """URL-extension half of is_html_content (crawler.c:848-858): last-dot
     suffix check against 7 asset types."""

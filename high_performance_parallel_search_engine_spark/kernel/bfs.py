@@ -50,6 +50,8 @@ from .urls import (
     is_html_content_url,
     is_valid_crawl_url,
     normalize_url,
+    openmp_insertion_order,
+    url_diversity,
     url_host,
     url_priority,
 )
@@ -196,7 +198,16 @@ def crawl(pages: dict[str, bytes], seeds: list[str],
             res.stopped_reason = stopped
             res.url_seen_rounds.append(set(visited))
             break
-        if priority:
+        if priority == "openmp":
+            # OpenMP combined insertion policy (crawler.c:693-731): each
+            # child inserts into the queue at 0 / len/4 / len/2 when
+            # priority + diversity > 3, else appends - applied per round
+            # over children in discovery order (the round adaptation of the
+            # reference's shared pending-url array).
+            scored = [(c[4] + url_diversity(c[0]), i)
+                      for i, c in enumerate(children)]
+            children = [children[i] for i in openmp_insertion_order(scored)]
+        elif priority:
             # north_rule priority queue: classifier desc, host in-degree
             # (among this round's enqueued children) desc, then discovery
             # order (recency tie-break). Stable sort keeps determinism.

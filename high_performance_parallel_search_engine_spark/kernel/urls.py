@@ -206,6 +206,41 @@ def url_priority(url: str, base_url: str) -> int:
     return pr
 
 
+def url_diversity(url: str) -> int:
+    """Diversity score 0-3 (OpenMP Version/src/crawler.c:694-699): tag/topic/
+    category pages score 2, author pages 3, everything else 0. The /tag/
+    branch is checked FIRST, so a URL matching both families scores 2."""
+    if "/tag/" in url or "/topic/" in url or "/category/" in url:
+        return 2
+    if "/@" in url or "/author/" in url:
+        return 3
+    return 0
+
+
+def openmp_insertion_order(scored: list[tuple[int, int]]) -> list[int]:
+    """The OpenMP combined insertion policy (crawler.c:701-731) as a pure
+    function: given [(combined_score, discovery_idx)] in discovery order,
+    return discovery_idx values in final queue order.
+
+    combined_score = url_priority + url_diversity. score > 3 with a
+    non-empty queue inserts at 0 (score >= 7), len/4 (score >= 5) or len/2
+    (score 4); everything else appends."""
+    queue: list[int] = []
+    for score, idx in scored:
+        n = len(queue)
+        if score > 3 and n > 0:
+            if score >= 7:
+                pos = 0
+            elif score >= 5:
+                pos = n // 4
+            else:
+                pos = n // 2
+            queue.insert(pos, idx)   # pos < n always holds here
+        else:
+            queue.append(idx)
+    return queue
+
+
 def is_html_content_url(url: str) -> bool:
     """URL-extension half of is_html_content (crawler.c:848-858): the
     extension is the substring after the LAST '.', compared case-

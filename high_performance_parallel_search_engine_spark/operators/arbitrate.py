@@ -80,11 +80,57 @@ def arbitrate_scale(cands: DataFrame, cap: int = MAX_LINKS_PER_PAGE) -> DataFram
     )
 
 
+def openmp_queue_positions(children: DataFrame,
+                           score_col: str = "_score") -> DataFrame:
+    """OpenMP combined insertion policy (OpenMP Version/src/
+    crawler.c:701-731) over one round's children: returns the input plus a
+    `_qpos` long column = each row's final position in the insertion queue.
+
+    Like arbitrate_exact this is the sequential-greedy idiom: a single
+    linear pass over the round's slim child tuples sorted by discovery
+    order (parent_seq, link_idx), buffered because positions are only known
+    once the queue is complete. Opt-in via CrawlConfig(priority='openmp');
+    the scale modes use pure sort keys instead."""
+    from ..kernel.urls import openmp_insertion_order
+
+    def assign(batches):
+        import pandas as pd
+
+        frames = [f for f in batches]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        order = openmp_insertion_order(
+            list(zip((int(s) for s in pdf[score_col]), range(len(pdf)))))
+        pos = [0] * len(pdf)
+        for qpos, idx in enumerate(order):
+            pos[idx] = qpos
+        pdf["_qpos"] = pos
+        yield pdf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType(list(children.schema.fields)
+                        + [StructField("_qpos", LongType())])
+    slim = children.repartition(1).sortWithinPartitions(
+        "parent_seq", "link_idx")
+    return slim.mapInPandas(assign, schema=schema)
+
+
 def arbitrate(cands: DataFrame, cap: int = MAX_LINKS_PER_PAGE,
-              mode: str = "exact", exact_threshold: int = 5_000_000) -> DataFrame:
-    """mode: 'exact' | 'scale' | 'auto' (exact below threshold rows)."""
+              mode: str = "exact", exact_threshold: int = 5_000_000,
+              count_hint: int | None = None) -> DataFrame:
+    """mode: 'exact' | 'scale' | 'auto' (exact below threshold rows).
+
+    auto uses count_hint when the caller already knows the approximate
+    candidate volume (run_round passes pages_ok x a links-per-page bound) so
+    the switch costs no extra job; without a hint it counts cands (one pass
+    over slim tuples). Note auto is a *semantics* switch at the threshold:
+    scale mode drops the serial revival quirk (docstring above) - crawls that
+    must be event-exact pin mode='exact'.
+    """
     if mode == "auto":
-        mode = "exact" if cands.count() <= exact_threshold else "scale"
+        n = count_hint if count_hint is not None else cands.count()
+        mode = "exact" if n <= exact_threshold else "scale"
     if mode == "exact":
         return arbitrate_exact(cands, cap)
     if mode == "scale":

@@ -52,10 +52,11 @@ from ..functions.urlsql import (
     base_domain_col,
     host_col,
     is_html_content_url_col,
+    url_diversity_col,
     url_priority_col,
     valid_crawl_url_col,
 )
-from .arbitrate import MAX_LINKS_PER_PAGE, arbitrate
+from .arbitrate import MAX_LINKS_PER_PAGE, arbitrate, openmp_queue_positions
 from .common import seen_anti_join, with_global_seq_counted
 from .politeness import apply_budget, delay_ms_col
 from .robots import apply_robots
@@ -82,8 +83,16 @@ class CrawlConfig:
     default_budget: int | None = None       # None = unlimited (parity mode)
     politeness: dict[str, int] | None = None  # host -> budget
     robots: list[tuple[str, str, str]] | None = None  # (host, rule, prefix)
-    priority: bool = False
-    arbitration: str = "exact"              # 'exact' | 'scale' | 'auto'
+    # False = FIFO; True = north_rule queue (classifier + host in-degree +
+    # recency); 'openmp' = the reference's combined insertion policy
+    # (priority + diversity, insert at 0 / n/4 / n/2; crawler.c:693-731)
+    priority: bool | str = False
+    # 'auto' | 'exact' | 'scale': auto = exact greedy below ~5M candidates
+    # (event-for-event serial parity), distributed two-window pass above
+    # (drops only the revival quirk; see operators/arbitrate.py). Parity
+    # suites pin 'exact'; a default user never gets a repartition(1) stage
+    # on a big frontier.
+    arbitration: str = "auto"
     use_bloom: bool = True
     max_rounds: int = 64                    # safety rail
     # trace=False: throughput mode - skips the event trace, dense seq
@@ -526,8 +535,12 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     )
     url_seen = _read_url_seen(spark, workdir, rnd)
     new_cands = seen_anti_join(cands, url_seen)
+    # auto-mode hint: candidates <= pages_ok x links/page; 256 is a loose
+    # links-per-page bound for the switch (both modes are correct; the hint
+    # only picks the strategy without an extra count job).
     children = arbitrate(new_cands, cap=config.max_links_per_page,
-                         mode=config.arbitration).localCheckpoint(eager=True)
+                         mode=config.arbitration,
+                         count_hint=n_ok * 256).localCheckpoint(eager=True)
     _mark("arbitration")
 
     # ---- next frontier: deferred first (old seq order), then children.
@@ -535,7 +548,17 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     # among this round's children desc, discovery order as recency
     # tie-break - mirrors kernel/bfs.py exactly.
     child_rows = children.withColumn("host", host_col(F.col("url")))
-    if config.priority:
+    if config.priority == "openmp":
+        # OpenMP combined insertion policy (crawler.c:693-731): exact queue
+        # position from the sequential insertion simulation (mirrors
+        # kernel/bfs.py's openmp branch event-for-event).
+        score = (url_priority_col(F.col("url"), F.col("parent_url_c"))
+                 + url_diversity_col(F.col("url"))).cast("int")
+        child_rows = openmp_queue_positions(
+            child_rows.withColumn("_score", score)).drop("_score")
+        k1 = F.col("_qpos")
+        k1b = F.lit(0).cast("long")
+    elif config.priority:
         indeg = child_rows.groupBy("host").agg(
             F.count("*").alias("_indeg"))
         child_rows = child_rows.join(F.broadcast(indeg), "host")

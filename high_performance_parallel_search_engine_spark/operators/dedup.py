@@ -84,11 +84,24 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+MAX_BUCKET_SIZE = 10_000
+MAX_SHINGLE_DF = 100_000
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = NUM_PERM,
-                      bands: int = LSH_BANDS) -> DataFrame:
+                      bands: int = LSH_BANDS,
+                      max_bucket_size: int | None = MAX_BUCKET_SIZE) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    max_bucket_size bounds the within-bucket quadratic pair output (a
+    10^5-document duplicate cluster lands in one bucket per band and would
+    emit 5x10^9 pairs): buckets larger than the cap are dropped before the
+    self-join. The hot-bucket list is tiny by construction, so the exclusion
+    is a broadcast anti-join - no extra shuffle of the bucket table. Giant
+    clusters are the job of exact_dedup (one agg), not pairwise LSH;
+    None disables the cap."""
     sig = minhash_signatures(docs, id_col, text_col, num_perm)
     rows = num_perm // bands
     band_cols = []
@@ -101,6 +114,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        hot = (buckets.groupBy("band", "bucket")
+               .agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_bucket_size)
+               .select("band", "bucket"))
+        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"],
+                               "left_anti")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -136,15 +156,27 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = SHINGLE_K,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """Exact shingle-set Jaccard over pairs sharing >= 1 shingle, via the
     inverted shingle->doc index (never all-pairs). Returns
     (doc_a, doc_b, jaccard rounded to 6) with doc_a < doc_b, j >= threshold.
-    """
+
+    max_shingle_df drops boilerplate shingles shared by more than that many
+    documents BEFORE the self-join (a shingle with df=10^6 alone would emit
+    5x10^11 join rows). Jaccard is then computed over the pruned shingle
+    universe - doc sizes count only surviving shingles, so the measure stays
+    a true Jaccard on that universe (standard stop-shingle removal). The
+    hot-shingle list is tiny, so the exclusion is a broadcast anti-join.
+    None disables the cap."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
     ).where(F.col("shingle") != "").distinct()
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .where(F.col("_df") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a").join(sh.alias("b"), "shingle")

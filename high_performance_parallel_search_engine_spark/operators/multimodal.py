@@ -14,7 +14,7 @@ pandas-UDF example (imperative per-byte loop -> Arrow batched).
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -88,8 +88,11 @@ def extract_features(media: DataFrame, fake: bool = True,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(lambda p: len(p or b"")),
+                # portable 60-bit digest (same PHASH family as dedup.py:
+                # first 15 hex chars of md5) so the column is oracle-checkable
                 "checksum": pdf["payload"].map(
-                    lambda p: zlib.crc32(bytes(p or b""))),
+                    lambda p: int(hashlib.md5(bytes(p or b""))
+                                  .hexdigest()[:15], 16)),
                 "feature": [
                     _decode_stub(bytes(p or b""), k, fake)
                     for p, k in zip(pdf["payload"], pdf["kind"])

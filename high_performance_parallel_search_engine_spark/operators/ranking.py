@@ -1,19 +1,32 @@
 """BM25 query ranking (Serial Version/src/ranking.c:27-91).
 
-Plan shape: the tiny query-term table broadcasts into the postings join
+Plan shape: the tiny query-candidate table broadcasts into the postings join
 (ranking.c's linear index scan R2 becomes a broadcast hash join); doc_stats
 joins on doc_id; the score is one codegen'd column expression; scores ADD
 across query terms via groupBy(doc_id).sum; top-k is TakeOrderedAndProject.
 The MPI gather-top-2k merge (MPI Version/src/ranking.c:110-188) is what
 orderBy().limit() already does distributed.
 
+Scale note (round-1 verdict fix): document frequency is computed ONLY over
+the candidate-term postings - the broadcast(candidates) semi-join narrows the
+scan BEFORE the df aggregate, so the broadcast df table is at most
+2 x |query terms| rows. Aggregating df over the full vocabulary and
+broadcasting it (the round-1 shape) would ship every unique term in a 100 TB
+corpus to every executor.
+
 k1=1.5, b=0.75, idf=ln((N-df+0.5)/(df+0.5)+1) hard-coded as in
 ranking.c:55-61 (config.ini's k1=1.2 is dead config - code wins).
+
+fallback=True ports the OpenMP plural/singular retry
+(OpenMP Version/src/ranking.c:110-150): a query term absent from the index
+retries term+'s' (when it does not already end in 's') else term[:-1], at
+full weight (alt_factor = 1.0 in the C). The primary form always wins when
+present (the C breaks out of the scan before trying the alternative).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernel.text import BM25_B, BM25_K1, DEFAULT_STOPWORDS, stem_serial
@@ -32,13 +45,26 @@ def query_terms(query: str, stopwords=DEFAULT_STOPWORDS, stem=stem_serial) -> li
     return out
 
 
+def alt_term(term: str) -> str | None:
+    """OpenMP Version/src/ranking.c:112-127: the retry form for a term the
+    index does not contain. Appends 's' when the term does not end in 's'
+    (the C truncates to 254 chars first; our tokens are capped at 100 so the
+    truncation branch is unreachable), else strips the trailing char when
+    len > 1, else no alternative."""
+    if len(term) > 0 and not term.endswith("s"):
+        return term + "s"
+    if len(term) > 1:
+        return term[:-1]
+    return None
+
+
 def bm25_score_col(tf, dl, avg_dl, idf, k1: float = BM25_K1, b: float = BM25_B):
     return idf * ((tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avg_dl)))
 
 
 def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
               total_docs: int | None = None, top_k: int = 10,
-              stopwords=DEFAULT_STOPWORDS) -> DataFrame:
+              stopwords=DEFAULT_STOPWORDS, fallback: bool = False) -> DataFrame:
     """Returns (doc_id, score) for the top_k positive-score docs, ordered by
     (score desc, doc_id asc) - deterministic tie-break (the C qsort is
     unstable; ties are broken by doc_id in both our engine and the oracle).
@@ -56,16 +82,36 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     terms = query_terms(query, stopwords)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
 
-    df_tbl = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Candidate table: (query position, candidate term, preference).
+    # pref 0 = the term itself; pref 1 = the OpenMP plural/singular retry.
+    cands = [(i, t, 0) for i, t in enumerate(terms)]
+    if fallback:
+        for i, t in enumerate(terms):
+            a = alt_term(t)
+            if a is not None:
+                cands.append((i, a, 1))
+    cdf = spark.createDataFrame(cands, "qpos int, term string, pref int")
+
+    # df over candidate-term postings only: the broadcast join prunes the
+    # scan, the aggregate output is <= |cands| rows. Grouping carries qpos so
+    # the same index term selected by two query occurrences scores twice
+    # (ranking.c keeps duplicate query terms).
+    df_tbl = (postings.join(F.broadcast(cdf), "term")
+              .groupBy("qpos", "pref", "term")
+              .agg(F.countDistinct("doc_id").alias("df")))
+    # Per query position keep the best-preference candidate that actually
+    # exists in the index (primary beats retry, as in the C's early break).
+    wq = Window.partitionBy("qpos")
+    sel = (df_tbl.withColumn("_minpref", F.min("pref").over(wq))
+           .where(F.col("pref") == F.col("_minpref"))
+           .select("qpos", "term", "df"))
+
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
-
     scored = (
         postings
-        .join(F.broadcast(qdf), "term")            # R2: query terms x index
-        .join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(sel), "term")            # R2: query terms x index
         .join(doc_stats, "doc_id")
         .withColumn("idf", idf)
         .withColumn("score_part", bm25_score_col(

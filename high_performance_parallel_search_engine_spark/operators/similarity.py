@@ -61,30 +61,42 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "neighbor_id", "cos", "rk"))
 
 
-def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 12,
-                           id_col: str = "vec_id",
-                           vec_col: str = "embedding",
-                           dim: int = 64, seed: int = 42) -> DataFrame:
-    """Sign-LSH bucket per vector: bit j = (v . r_j > 0) for deterministic
-    pseudo-random hyperplanes r_j derived from (seed, j, i) - no stored
-    model, any engine can regenerate them. Returns (vec_id, bucket).
-
-    At 10^10 rows: groupBy(bucket) co-locates near neighbors; candidate
-    search touches only same-bucket (or neighboring-bucket) rows instead of
-    the full corpus - the standard ANN scale path.
-    """
+def lsh_planes(n_planes: int = 12, dim: int = 64,
+               seed: int = 42) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes, QUANTIZED to integers
+    (round(uniform(-1,1) * 1e6)) - no stored model, any engine regenerates
+    (or receives as literals) the same ints, so the plane-sign test is exact
+    integer math on both sides (this is what makes lsh_buckets
+    oracle-checkable in DuckDB)."""
     import random
 
     planes = []
     for j in range(n_planes):
         rng = random.Random(f"{seed}:{j}")
-        planes.append([rng.uniform(-1.0, 1.0) for _ in range(dim)])
-    v = F.col(vec_col)
+        planes.append([round(rng.uniform(-1.0, 1.0) * QUANT)
+                       for _ in range(dim)])
+    return planes
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 12,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64, seed: int = 42) -> DataFrame:
+    """Sign-LSH bucket per vector: bit j = (quant(v) . qplane_j > 0) with
+    both sides integer-quantized, so signs are bit-identical across engines
+    (64 dims x 2^20-scale products stay far below 2^63).
+    Returns (vec_id, bucket).
+
+    At 10^10 rows: groupBy(bucket) co-locates near neighbors; candidate
+    search touches only same-bucket (or neighboring-bucket) rows instead of
+    the full corpus - the standard ANN scale path.
+    """
+    planes = lsh_planes(n_planes, dim, seed)
+    v = quant_col(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(F.zip_with(v, arr, lambda a, b: a.cast("double") * b),
-                          F.lit(0.0), lambda s, x: s + x)
+        arr = F.array(*[F.lit(x).cast("long") for x in plane])
+        dot = int_dot(v, arr)
         bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")) \
             .otherwise(F.lit(0))
     return embeddings.select(F.col(id_col).alias("vec_id"),

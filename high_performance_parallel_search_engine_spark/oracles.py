@@ -31,6 +31,7 @@ from .functions.urlsql import (
     base_domain_col,
     host_col,
     normalize_url_col,
+    url_diversity_col,
     url_priority_col,
     valid_crawl_url_col,
 )
@@ -272,6 +273,32 @@ def q_url_priority(spark, sf_dir):
                        url_priority_col(u, u).alias("priority"))
 
 
+DIVERSITY_SQL = """
+CASE WHEN contains(url, '/tag/') OR contains(url, '/topic/')
+          OR contains(url, '/category/') THEN 2
+     WHEN contains(url, '/@') OR contains(url, '/author/') THEN 3
+     ELSE 0 END
+"""
+
+
+# F6 (part 2): url_diversity 0-3 + the combined score driving the OpenMP
+# insertion policy (OpenMP Version/src/crawler.c:693-731).
+@q("url_diversity", f"""
+WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS url
+             FROM documents)
+SELECT doc_id, url, ({DIVERSITY_SQL}) AS diversity,
+       ({PRIORITY_SQL}) + ({DIVERSITY_SQL}) AS combined_score
+FROM raw""")
+def q_url_diversity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    return docs.select(
+        "doc_id", u.alias("url"),
+        url_diversity_col(u).alias("diversity"),
+        (url_priority_col(u, u) + url_diversity_col(u))
+        .alias("combined_score"))
+
+
 # --- C4/C7/C2 analogs over events/orders -------------------------------------
 
 @q("per_parent_cap", """
@@ -323,8 +350,8 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS fetched,
-       SUM(CASE WHEN rk > 5 THEN 1 ELSE 0 END) AS deferred
+       CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS fetched,
+       CAST(SUM(CASE WHEN rk > 5 THEN 1 ELSE 0 END) AS BIGINT) AS deferred
 FROM ranked GROUP BY user_id""")
 def q_politeness_budget(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -414,6 +441,62 @@ def q_bm25_topk(spark, sf_dir):
     postings = IX.build_postings(docs)
     stats = IX.build_doc_stats(docs)
     out = RK.rank_bm25(postings, stats, BM25_QUERY, top_k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# R2 fallback: OpenMP plural/singular retry (OpenMP Version/src/
+# ranking.c:110-150). 'joins'/'windows' miss the index (the synthetic corpus
+# is singular-only) and retry 'join'/'window' at full weight; 'clusterz'
+# misses both forms and contributes nothing; 'spark' hits directly.
+BM25_FB_QUERY = "joins spark windows clusterz"
+
+
+def _bm25_fb_cand_values() -> str:
+    terms = RK.query_terms(BM25_FB_QUERY)
+    rows = [(i, t, 0) for i, t in enumerate(terms)]
+    for i, t in enumerate(terms):
+        a = RK.alt_term(t)
+        if a is not None:
+            rows.append((i, a, 1))
+    return ", ".join(f"({i}, '{t}', {p})" for i, t, p in rows)
+
+
+ORACLE_BM25_FB = TOK_CTE + f"""
+, postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM kept
+               GROUP BY term, doc_id),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM kept GROUP BY doc_id),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n,
+                 SUM(dl) * 1.0 / COUNT(*) AS avg_dl FROM dl),
+qcand AS (SELECT * FROM (VALUES {_bm25_fb_cand_values()})
+          AS v(qpos, term, pref)),
+dfs AS (SELECT q.qpos, q.pref, q.term, COUNT(DISTINCT p.doc_id) AS df
+        FROM postings p JOIN qcand q ON p.term = q.term
+        GROUP BY q.qpos, q.pref, q.term),
+sel AS (SELECT d.qpos, d.term, d.df FROM dfs d
+        JOIN (SELECT qpos, MIN(pref) AS pref FROM dfs GROUP BY qpos) m
+        ON d.qpos = m.qpos AND d.pref = m.pref),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * ((p.tf * (1.5 + 1)) / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / s.avg_dl)))
+         AS part
+  FROM postings p
+  JOIN sel f ON p.term = f.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(SUM(part), 4) AS score
+FROM scored GROUP BY doc_id HAVING SUM(part) > 0
+ORDER BY round(SUM(part), 4) DESC, doc_id LIMIT 10"""
+
+
+@q("bm25_fallback_topk", ORACLE_BM25_FB)
+def q_bm25_fallback_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    out = RK.rank_bm25(postings, stats, BM25_FB_QUERY, top_k=10,
+                       fallback=True)
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -547,8 +630,9 @@ WITH g AS (
   FROM events
 )
 SELECT user_id, event_id,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_id
 FROM g""")
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -605,7 +689,11 @@ _BAND_UNION_SQL = " UNION ALL ".join(
   FROM shingles GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, {_BAND_KEYS_SQL} FROM sigraw
-), buckets AS ({_BAND_UNION_SQL})
+), rawbuckets AS ({_BAND_UNION_SQL}),
+buckets AS (
+  SELECT doc_id, band, bucket FROM rawbuckets
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {D.MAX_BUCKET_SIZE}
+)
 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        COUNT(DISTINCT l.band) AS n_bands
 FROM buckets l JOIN buckets r
@@ -637,7 +725,11 @@ def q_simhash(spark, sf_dir):
 
 
 @q("ngram_jaccard_pairs", SHINGLE_CTE + """
-, dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+, dshraw AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+dsh AS (
+  SELECT doc_id, shingle FROM dshraw
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= """ + str(D.MAX_SHINGLE_DF) + """
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -692,9 +784,70 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), _QIDS, k=5)
 
 
-@q("lsh_buckets")  # rows-only: float-dot plane signs aren't portable SQL
+# Integer-quantized hyperplanes (similarity.lsh_planes): the plane-sign test
+# is exact integer math, so DuckDB reproduces the buckets bit-for-bit.
+def _lquant_sql(col: str) -> str:
+    return (f"list_transform({col}, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+
+
+def _ldot_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> s[1] * s[2]))")
+
+
+def _planes_values_sql(n_planes: int) -> str:
+    planes = SIM.lsh_planes(n_planes=n_planes)
+    return ", ".join(
+        f"({j}, {1 << j}::BIGINT, {plane}::BIGINT[])"
+        for j, plane in enumerate(planes))
+
+
+def _bucket_cte_sql(n_planes: int) -> str:
+    return f"""
+qe AS (SELECT vec_id, {_lquant_sql('embedding')} AS v FROM embeddings),
+planes AS (SELECT * FROM (VALUES {_planes_values_sql(n_planes)})
+           AS p(j, w, plane)),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN {_ldot_sql('v', 'plane')} > 0
+                       THEN w ELSE 0 END) AS BIGINT) AS bucket
+  FROM qe CROSS JOIN planes GROUP BY vec_id
+)"""
+
+
+@q("lsh_buckets", "WITH " + _bucket_cte_sql(12).lstrip() + """
+SELECT vec_id, bucket FROM buckets""")
 def q_lsh_buckets(spark, sf_dir):
     return SIM.hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_LSH_COSINE = "WITH " + _bucket_cte_sql(8).lstrip() + f""",
+wb AS (SELECT e.vec_id, {_lquant_sql('e.embedding')} AS v, b.bucket
+       FROM embeddings e JOIN buckets b USING (vec_id)),
+qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM wb
+       WHERE vec_id IN ({', '.join(map(str, _QIDS))})),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM wb),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CAST({_ldot_sql('q.qv', 'c.cv')} AS DOUBLE) /
+               (sqrt(CAST({_ldot_sql('q.qv', 'q.qv')} AS DOUBLE))
+                * sqrt(CAST({_ldot_sql('c.cv', 'c.cv')} AS DOUBLE))), 6)
+           AS cos
+  FROM qs q JOIN cs c USING (bucket)
+  WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5"""
+
+
+@q("lsh_cosine_topk", ORACLE_LSH_COSINE)
+def q_lsh_cosine_topk(spark, sf_dir):
+    return SIM.lsh_cosine_topk(_t(spark, sf_dir, "embeddings"), _QIDS, k=5)
 
 
 # --- text analysis ------------------------------------------------------------
@@ -777,14 +930,36 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@q("rolling_fingerprint")  # rows-only: imperative pandas-UDF path
+# Karp-Rabin over utf-8 bytes: DuckDB replays the byte loop via list_reduce
+# in HUGEINT (h*257 overflows BIGINT), bytes pulled from hex(encode(text)).
+@q("rolling_fingerprint", """
+SELECT doc_id,
+       CAST(list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(
+                  generate_series(1, octet_length(encode(coalesce(text, '')))),
+                  i -> CAST(('0x' || substr(hex(encode(coalesce(text, ''))),
+                                            2 * i - 1, 2)) AS INT))),
+              (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT)
+         AS rolling_fp
+FROM documents""")
 def q_rolling_fingerprint(spark, sf_dir):
     from .operators.multimodal import rolling_fingerprint
 
     return rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@q("media_features")  # rows-only: stubbed codec seam (fake=True)
+# The codec seam stays stubbed (no pillow/pyav in the sandbox) but the
+# plumbing columns are exact: payload = utf-8 bytes of text, so DuckDB
+# recomputes n_bytes and the md5-prefix checksum from the text itself.
+@q("media_features", """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       CAST('0x' || substr(md5(coalesce(text, '')), 1, 15) AS BIGINT)
+         AS checksum
+FROM documents""")
 def q_media_features(spark, sf_dir):
     from .operators.multimodal import extract_features, synth_media_df
 
@@ -792,6 +967,36 @@ def q_media_features(spark, sf_dir):
     media = synth_media_df(spark, docs)
     feats = extract_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes", "checksum")
+
+
+# F9 extract_title (crawler.c:749-797): html synthesized deterministically
+# from the documents table covers the kernel's gates - missing <title>,
+# empty title, unclosed </title>, '<title' with no '>', and the
+# &amp;/&lt;/&gt; entity decode. The oracle states the expected titles
+# directly per case.
+@q("extract_title", """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 <= 3 THEN ''
+            ELSE 'Doc ' || doc_id || ' & ' || source || ' <x>' END AS title
+FROM documents""")
+def q_extract_title(spark, sf_dir):
+    from .functions.udfs import extract_title_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    html = (
+        F.when(m == 0, F.lit("<html><head></head><body>no</body></html>"))
+        .when(m == 1, F.lit("<html><title></title></html>"))
+        .when(m == 2, F.concat(F.lit("<html><title>unclosed "),
+                               F.col("source")))
+        .when(m == 3, F.lit("<html><title"))
+        .otherwise(F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" &amp; "), F.col("source"),
+            F.lit(" &lt;x&gt;</title></head><body>b</body></html>"))))
+    return docs.select(
+        "doc_id", extract_title_udf(F.encode(html, "utf-8")).alias("title"))
 
 
 @q("revenue_rollup", """
@@ -830,7 +1035,7 @@ def q_monthly_order_stats(spark, sf_dir):
 
 # OpenMP tokenizer variant (OpenMP Version/src/parser.c:56-66): extra
 # delimiters /-_=+@ and a 3..50 token length filter.
-_RX_OMP = (TOKEN_SPLIT_REGEX[:-2] + "/\-_=+@]+").replace("'", "''")
+_RX_OMP = (TOKEN_SPLIT_REGEX[:-2] + r"/\-_=+@]+").replace("'", "''")
 
 
 @q("tokenize_openmp", f"""

@@ -1,0 +1,42 @@
+"""CLI contract test: python -m high_performance_parallel_search_engine_spark
+mirrors the reference job submission (Serial Version/src/main.c:53-149)."""
+
+from high_performance_parallel_search_engine_spark.__main__ import (
+    build_parser,
+    main,
+)
+
+
+def test_cli_crawl_and_query_end_to_end(spark, tmp_path, capsys):
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "3", "-p", "25",
+               "-q", "crawl indexes bm25", "--workdir", str(tmp_path / "w")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Starting website crawl from URL" in out
+    assert "Successfully crawled" in out
+    assert "Query processed in" in out
+    assert "doc " in out  # at least one ranked result
+
+
+def test_cli_clamps_match_reference(capsys):
+    # main.c:102-127 clamps: depth<=5, pages<=100, both with warnings
+    ap = build_parser()
+    args = ap.parse_args(["-c", "x", "-d", "9", "-p", "500"])
+    from high_performance_parallel_search_engine_spark.__main__ import (
+        _clamped_limits,
+    )
+    d, p = _clamped_limits(args)
+    out = capsys.readouterr().out
+    assert (d, p) == (5, 100)
+    assert "Limited to 5" in out and "Limited to 100" in out
+    # --no-clamp lifts them (scale mode)
+    args2 = ap.parse_args(["-c", "x", "-d", "9", "-p", "500", "--no-clamp"])
+    assert _clamped_limits(args2) == (9, 500)
+
+
+def test_cli_medium_profile_defaults(capsys, tmp_path, spark):
+    rc = main(["-m", "user0", "--workdir", str(tmp_path / "m")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Crawling Medium profile: https://medium.com/@user0" in out
+    assert "Successfully crawled" in out

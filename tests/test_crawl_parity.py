@@ -81,14 +81,14 @@ def test_single_seed_parity(spark, pages_df, tmp_path, seed_idx, max_depth,
                             max_pages):
     seeds = [seed_urls()[seed_idx]]
     _assert_parity(spark, pages_df, tmp_path, seeds,
-                   CrawlConfig(max_depth=max_depth, max_pages=max_pages),
+                   CrawlConfig(arbitration="exact", max_depth=max_depth, max_pages=max_pages),
                    dict(max_depth=max_depth, max_pages=max_pages))
 
 
 def test_multi_seed_parity(spark, pages_df, tmp_path):
     seeds = seed_urls()
     _assert_parity(spark, pages_df, tmp_path, seeds,
-                   CrawlConfig(max_depth=3, max_pages=60),
+                   CrawlConfig(arbitration="exact", max_depth=3, max_pages=60),
                    dict(max_depth=3, max_pages=60))
 
 
@@ -97,7 +97,7 @@ def test_politeness_budget_parity(spark, pages_df, tmp_path):
     pol = {"*": 4, "medium.com": 2}
     _assert_parity(
         spark, pages_df, tmp_path, seeds,
-        CrawlConfig(max_depth=3, max_pages=100, politeness=pol),
+        CrawlConfig(arbitration="exact", max_depth=3, max_pages=100, politeness=pol),
         dict(max_depth=3, max_pages=100, politeness=pol))
 
 
@@ -111,7 +111,7 @@ def test_robots_parity(spark, pages_df, tmp_path):
         robots_dict.setdefault(h, []).append((rule, pfx))
     _assert_parity(
         spark, pages_df, tmp_path, seeds,
-        CrawlConfig(max_depth=3, max_pages=100, robots=robots_rules),
+        CrawlConfig(arbitration="exact", max_depth=3, max_pages=100, robots=robots_rules),
         dict(max_depth=3, max_pages=100, robots=robots_dict))
 
 
@@ -132,7 +132,7 @@ def test_failure_stop_parity(spark, tmp_path):
     seeds = [f"{host}/p/0"]
     workdir = str(tmp_path / "fs")
     state = run_crawl(spark, pages_df, seeds, workdir,
-                      CrawlConfig(max_depth=3, max_pages=100))
+                      CrawlConfig(arbitration="exact", max_depth=3, max_pages=100))
     expected = oracle_crawl(pages, seeds, max_depth=3, max_pages=100)
     assert expected.stopped_reason == "failure_stop"
     assert state.stopped == "failure_stop"
@@ -145,7 +145,7 @@ def test_extracted_text_byte_identical(spark, pages_df, tmp_path):
     seeds = [seed_urls()[0], seed_urls()[3]]
     workdir = str(tmp_path / "txt")
     run_crawl(spark, pages_df, seeds, workdir,
-              CrawlConfig(max_depth=3, max_pages=40))
+              CrawlConfig(arbitration="exact", max_depth=3, max_pages=40))
     out = spark.read.parquet(f"{workdir}/round=*/pages.parquet").collect()
     assert out
     for r in out:
@@ -155,13 +155,13 @@ def test_extracted_text_byte_identical(spark, pages_df, tmp_path):
 
 def test_resume_equals_uninterrupted(spark, pages_df, tmp_path):
     seeds = seed_urls()
-    cfg = CrawlConfig(max_depth=3, max_pages=60)
+    cfg = CrawlConfig(arbitration="exact", max_depth=3, max_pages=60)
     w_full = str(tmp_path / "full")
     run_crawl(spark, pages_df, seeds, w_full, cfg)
 
     # run only 1 round, then resume to completion
     w_part = str(tmp_path / "part")
-    cfg1 = CrawlConfig(max_depth=3, max_pages=60, max_rounds=1)
+    cfg1 = CrawlConfig(arbitration="exact", max_depth=3, max_pages=60, max_rounds=1)
     run_crawl(spark, pages_df, seeds, w_part, cfg1)
     # fix the config back (resume reuses persisted config; emulate operator
     # bumping max_rounds on restart)
@@ -192,7 +192,7 @@ def test_all_features_combined_parity(spark, pages_df, tmp_path):
         robots_dict.setdefault(h, []).append((rule, pfx))
     _assert_parity(
         spark, pages_df, tmp_path, seeds,
-        CrawlConfig(max_depth=3, max_pages=80, politeness=pol,
+        CrawlConfig(arbitration="exact", max_depth=3, max_pages=80, politeness=pol,
                     robots=robots_rules, priority=True),
         dict(max_depth=3, max_pages=80, politeness=pol,
              robots=robots_dict, priority=True))

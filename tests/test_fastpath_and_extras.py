@@ -185,6 +185,52 @@ def test_priority_mode_exact_parity(spark, tmp_path, pages_df=None):
     assert got == want
 
 
+def test_openmp_priority_mode_exact_parity(spark, tmp_path):
+    """priority='openmp' (combined insertion policy, OpenMP Version/src/
+    crawler.c:693-731) must match the oracle EVENT-FOR-EVENT."""
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=30, n_medium=8,
+                            with_oracle_text=False))
+    pages = {r["url"]: r["html"] for r in rows}
+    seeds = ["https://medium.com/@user0", page_url(0, 0)]
+    expected = oracle_crawl(pages, seeds, max_depth=3, max_pages=10_000,
+                            priority="openmp")
+    wd = str(tmp_path / "omp")
+    run_crawl(spark, _pages_df(spark, rows), seeds, wd,
+              CrawlConfig(max_depth=3, max_pages=10_000, priority="openmp"))
+    got = [
+        (r["seq"], r["url"], r["action"]) for r in
+        spark.read.parquet(f"{wd}/round=*/events.parquet")
+        .orderBy("seq").collect()]
+    want = [(e.seq, e.url, e.action) for e in expected.events]
+    assert got == want
+    # the policy actually reorders vs plain FIFO for this corpus
+    fifo = oracle_crawl(pages, seeds, max_depth=3, max_pages=10_000)
+    assert [e.url for e in expected.events] != [e.url for e in fifo.events]
+
+
+def test_openmp_insertion_order_kernel():
+    from high_performance_parallel_search_engine_spark.kernel.urls import (
+        openmp_insertion_order,
+        url_diversity,
+    )
+
+    # scores: 1 appends, 7 inserts at front, 5 at n//4, 4 at n//2
+    assert openmp_insertion_order([(1, 0), (1, 1), (1, 2)]) == [0, 1, 2]
+    assert openmp_insertion_order([(1, 0), (7, 1)]) == [1, 0]
+    # first element always appends even with a high score (url_count == 0)
+    assert openmp_insertion_order([(7, 0), (1, 1)]) == [0, 1]
+    # n=4 queue, score 5 -> pos 1; score 4 -> pos 2
+    assert openmp_insertion_order(
+        [(1, 0), (1, 1), (1, 2), (1, 3), (5, 4)]) == [0, 4, 1, 2, 3]
+    assert openmp_insertion_order(
+        [(1, 0), (1, 1), (1, 2), (1, 3), (4, 4)]) == [0, 1, 4, 2, 3]
+    # diversity: /tag/ family wins over /@ when both match (C checks it first)
+    assert url_diversity("https://a.com/tag/x/@y") == 2
+    assert url_diversity("https://a.com/@y") == 3
+    assert url_diversity("https://a.com/author/y") == 3
+    assert url_diversity("https://a.com/plain") == 0
+
+
 def test_url_seen_compaction_preserves_resume(spark, tmp_path):
     from high_performance_parallel_search_engine_spark.operators.crawl import (
         compact_url_seen,

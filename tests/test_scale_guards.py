@@ -1,0 +1,110 @@
+"""Scale-guard tests: the round-1 verdict's named scale-killers stay fixed.
+
+1. BM25's document-frequency aggregate runs AFTER the broadcast candidate
+   join (never an agg over the full vocabulary that then broadcasts).
+2. ngram_jaccard_pairs bounds the inverted self-join with a shingle-df cap.
+3. minhash_lsh_pairs bounds within-bucket pair blowup with a bucket-size cap.
+4. The OpenMP plural/singular query fallback (ranking.c:110-150) semantics.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from high_performance_parallel_search_engine_spark.operators import dedup as D
+from high_performance_parallel_search_engine_spark.operators import index as IX
+from high_performance_parallel_search_engine_spark.operators import ranking as RK
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark join window stream filter scan"),
+        (1, "join join join vector hash batch"),
+        (2, "window stream stream agg sort merge"),
+        (3, "totally unrelated words here now ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_df_agg_is_post_join(spark, docs):
+    """The optimized plan must not contain an Aggregate keyed by term alone
+    (the full-vocabulary df table of round 1); df is grouped by
+    (qpos, pref, term), which only exists after the candidate join."""
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    out = RK.rank_bm25(postings, stats, "spark join", top_k=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for line in plan.splitlines():
+        if re.search(r"Aggregate \[term#\d+\],", line):
+            raise AssertionError(
+                "df aggregate keyed by bare term (full-vocab agg):\n" + line)
+    assert "qpos" in plan  # the candidate join feeds the df agg
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert set(rows) <= {0, 1, 2}
+    assert rows  # scored something
+
+
+def test_bm25_fallback_matches_python_rule(spark, docs):
+    """'joins' and 'windows' are absent; fallback retries 'join'/'window' at
+    full weight, so the fallback query scores exactly like the singular one."""
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    direct = RK.rank_bm25(postings, stats, "join window", top_k=5).collect()
+    fb = RK.rank_bm25(postings, stats, "joins windows", top_k=5,
+                      fallback=True).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in direct] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in fb]
+    # without fallback the mistyped query matches nothing
+    none = RK.rank_bm25(postings, stats, "joins windows", top_k=5).collect()
+    assert none == []
+    # primary beats retry when both exist: 'join' present -> no retry 'joins'
+    assert RK.alt_term("join") == "joins"
+    assert RK.alt_term("joins") == "join"
+    assert RK.alt_term("s") is None
+
+
+def _hot_corpus(spark, n_dup=40):
+    """n_dup near-identical docs (one shared hot shingle universe) plus two
+    distinct docs sharing a moderate shingle."""
+    rows = [(i, "common boiler plate shingle everywhere always "
+                f"unique{i} tail{i} end{i}") for i in range(n_dup)]
+    rows += [(1000, "rare pair shingle one two three"),
+             (1001, "rare pair shingle four five six")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_shingle_df_cap_bounds_output(spark):
+    docs = _hot_corpus(spark)
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.0,
+                                     max_shingle_df=None).count()
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10)
+    rows = capped.collect()
+    # the 40-doc hot cluster (df=40 shingles > 10) no longer pairs all-to-all
+    assert uncapped >= 40 * 39 / 2
+    assert len(rows) < 40 * 39 / 2
+    # the rare pair (df=2 shingle) survives the cap
+    assert any((r["doc_a"], r["doc_b"]) == (1000, 1001) for r in rows)
+
+
+def test_minhash_lsh_bucket_cap_bounds_output(spark):
+    docs = spark.createDataFrame(
+        [(i, "exactly the same words in every single doc")
+         for i in range(30)] +
+        [(100, "another different pair of docs close together alpha"),
+         (101, "another different pair of docs close together beta")],
+        "doc_id long, text string")
+    uncapped = D.minhash_lsh_pairs(docs, max_bucket_size=None).count()
+    capped = D.minhash_lsh_pairs(docs, max_bucket_size=10)
+    rows = capped.collect()
+    assert uncapped >= 30 * 29 / 2          # the dup cluster is quadratic
+    assert len(rows) < 30 * 29 / 2          # the cap removed it
+    assert all(not (r["doc_a"] < 100 and r["doc_b"] < 100) for r in rows)
+
+
+def test_lsh_cap_anti_join_is_broadcast(spark):
+    docs = _hot_corpus(spark)
+    out = D.minhash_lsh_pairs(docs, max_bucket_size=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
