@@ -36,14 +36,17 @@ HEADLINE = [
 
 # crawl bench corpus shape (generated distributed, no oracle text).
 # tree link-mode: page p links to children 18p+1..18p+18 - deterministic
-# full-host reach at depth 4 (1+18+324+5832), no dedup loss, predictable
-# crawl size; pad_paras controls page size so extraction (the genuine
-# per-page compute) dominates the fixed per-round cost.
+# full-host reach at depth 4 (1+18+324+5832=6175), no dedup loss,
+# predictable crawl size; pad_paras controls page size so extraction (the
+# genuine per-page compute) dominates the fixed per-round cost - the
+# regime a 10^10-URL crawl actually runs in, where rounds take hours and
+# the ~10 s/round sync cost vanishes.
 N_HOSTS = int(os.environ.get("BENCH_HOSTS", "32"))
-PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "5000"))
+PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "6175"))
 N_MEDIUM = int(os.environ.get("BENCH_MEDIUM", "0"))
-PAD_PARAS = int(os.environ.get("BENCH_PAD_PARAS", "24"))
+PAD_PARAS = int(os.environ.get("BENCH_PAD_PARAS", "48"))
 MAX_DEPTH = 4
+N_BUCKETS = int(os.environ.get("BENCH_PAGE_BUCKETS", "64"))
 
 
 def build_session(master_threads: int):
@@ -60,6 +63,10 @@ def phase_queries(spark) -> dict[str, float]:
     from high_performance_parallel_search_engine_spark.oracles import QUERIES
 
     timings = {}
+    # throwaway warmup so the first headline number measures the operator,
+    # not JVM/session/codegen spin-up (round-1 verdict: url_normalize's
+    # 5.2 s was warmup)
+    QUERIES["url_valid"](spark, SF_DIR).count()
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.monotonic()
@@ -70,17 +77,62 @@ def phase_queries(spark) -> dict[str, float]:
     return timings
 
 
+def phase_query_warm(spark) -> dict:
+    """Warm-index BM25 query-only latency - the apples figure against the
+    reference's 365 ms (serial) / 124 ms (OpenMP) / 78 ms (MPI -np 4)
+    average query on its 25-doc in-memory index (README.md:620-622): the
+    postings/doc-stats tables are built and cached FIRST, then only
+    rank_bm25 + collect is timed (median of 5)."""
+    import statistics
+
+    from high_performance_parallel_search_engine_spark.operators import (
+        index as IX,
+    )
+    from high_performance_parallel_search_engine_spark.operators import (
+        ranking as RK,
+    )
+
+    out = {}
+    docs_full = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for label, docs in [("25_docs", docs_full.limit(25)),
+                        (f"sf{SF_DIR.rstrip('/').split('sf')[-1]}", docs_full)]:
+        postings = IX.build_postings(docs).cache()
+        stats = IX.build_doc_stats(docs).cache()
+        # index-time corpus stats, as the C computes from its loaded index
+        total = stats.count()
+        avg_dl = (stats.groupBy().sum("dl").collect()[0][0] or 0) / total
+        postings.count()
+        RK.rank_bm25(postings, stats, "spark join window stream",
+                     total_docs=total, avg_dl=avg_dl).collect()  # warm plan
+        times = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            RK.rank_bm25(postings, stats, "spark join window stream",
+                         total_docs=total, avg_dl=avg_dl,
+                         top_k=10).collect()
+            times.append((time.monotonic() - t0) * 1000)
+        out[label] = {"median_ms": round(statistics.median(times), 1),
+                      "min_ms": round(min(times), 1)}
+        postings.unpersist()
+        stats.unpersist()
+        print(f"  query_warm {label}: {out[label]}", file=sys.stderr)
+    return out
+
+
 def prepare_corpus(spark, path: str) -> None:
     from high_performance_parallel_search_engine_spark.sources.synth import (
         build_corpus_df,
+    )
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        write_bucketed_pages,
     )
 
     df = build_corpus_df(spark, n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST,
                          n_medium=N_MEDIUM, n_tiny_per_host=2,
                          with_oracle_text=False, link_mode="tree",
                          pad_paras=PAD_PARAS, distributed_threshold=0)
-    df.select("url", "warc_ts", "html", "lang").write.mode("overwrite") \
-        .parquet(path)
+    write_bucketed_pages(df.select("url", "warc_ts", "html", "lang"), path,
+                         n_buckets=N_BUCKETS)
 
 
 def run_crawl_subprocess(threads: int, corpus_path: str,
@@ -99,6 +151,57 @@ def run_crawl_subprocess(threads: int, corpus_path: str,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
     line = proc.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+def run_ceiling_subprocess(procs: int, corpus_path: str,
+                           pin_cores: int | None) -> dict:
+    """Same-kernel pure-multiprocessing extraction at `procs` workers - the
+    zero-Spark throughput ceiling for the crawl's dominant compute."""
+    import subprocess
+
+    cmd = []
+    if pin_cores is not None:
+        cmd += ["taskset", "-c", f"0-{pin_cores - 1}"]
+    cmd += [sys.executable, "tools/bench_extract_ceiling.py", str(procs),
+            corpus_path]
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def speedup_vs_baseline(timings: dict, crawl_big: dict) -> dict | None:
+    """The reference persists a baseline metrics CSV and prints speedup
+    ratios against it on every run (Serial Version/src/benchmark.c:10-91,
+    data/serial_metrics.csv). Analog: compare this run against the most
+    recent recorded BENCH_r*.json in the repo root; ratio > 1 = faster now."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                  key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    if not runs:
+        return None
+    try:
+        base = json.load(open(runs[-1]))["parsed"]
+    except (KeyError, json.JSONDecodeError):
+        return None
+    out = {"baseline_run": os.path.basename(runs[-1]), "queries": {}}
+    for name, sec in timings.items():
+        b = base.get("queries", {}).get(name)
+        if b and sec:
+            out["queries"][name] = round(b / sec, 2)
+    # crawl throughput is only comparable at the same corpus shape
+    # (pages/page-size changed between rounds make urls/sec incomparable)
+    shape = {"hosts": N_HOSTS, "pages_per_host": PAGES_PER_HOST,
+             "pad_paras": PAD_PARAS}
+    for v in base.get("crawl", {}).values():
+        if (isinstance(v, dict) and v.get("threads") == crawl_big.get("threads")
+                and v.get("corpus") == shape and v.get("urls_per_sec")
+                and crawl_big.get("urls_per_sec")):
+            out["crawl_urls_per_sec"] = round(
+                crawl_big["urls_per_sec"] / v["urls_per_sec"], 2)
+    return out
 
 
 def hardware_ceiling() -> dict:
@@ -135,6 +238,8 @@ def main() -> None:
     spark_big = build_session(CPUS)
     print("phase 1: headline queries", file=sys.stderr)
     timings = phase_queries(spark_big)
+    print("phase 1b: warm-index BM25 query latency", file=sys.stderr)
+    query_warm = phase_query_warm(spark_big)
     print("prep: synthetic corpus", file=sys.stderr)
     prepare_corpus(spark_big, corpus_path)
     spark_big.stop()
@@ -154,6 +259,14 @@ def main() -> None:
           f"{SMALL_CPUS} cores (best of 2)", file=sys.stderr)
     crawl_small = best_of(2, SMALL_CPUS, SMALL_CPUS)
 
+    print("phase 4: same-kernel extraction ceiling (pure mp, no Spark)",
+          file=sys.stderr)
+    ceil_big = run_ceiling_subprocess(CPUS, corpus_path, None)
+    ceil_small = run_ceiling_subprocess(SMALL_CPUS, corpus_path, SMALL_CPUS)
+    workload_ceiling = round(
+        ceil_big["pages_per_sec"] / (4 * ceil_small["pages_per_sec"]), 3) \
+        if ceil_small["pages_per_sec"] else 0.0
+
     eff = crawl_big["urls_per_sec"] / (4 * crawl_small["urls_per_sec"]) \
         if crawl_small["urls_per_sec"] else 0.0
     result = {
@@ -161,6 +274,8 @@ def main() -> None:
         "value": round(time.monotonic() - total_t0, 2),
         "unit": "sec",
         "queries": timings,
+        "query_warm": query_warm,
+        "speedup_vs_baseline": speedup_vs_baseline(timings, crawl_big),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": {f"local[{CPUS}]": crawl_big,
                   f"local[{SMALL_CPUS}]": crawl_small},
@@ -169,6 +284,14 @@ def main() -> None:
             "urls_per_sec_small": crawl_small["urls_per_sec"],
             "urls_per_sec_big": crawl_big["urls_per_sec"],
             "efficiency_n_to_4n": round(eff, 3),
+            # the box's ceiling for THIS workload (same kernel, same bytes,
+            # zero Spark, both pinnings) - the denominator that separates
+            # engine overhead from VM/memory-subsystem reality
+            "workload_ceiling_n_to_4n": workload_ceiling,
+            "efficiency_vs_workload_ceiling": round(
+                eff / workload_ceiling, 3) if workload_ceiling else 0.0,
+            "extract_pages_per_sec_small": ceil_small["pages_per_sec"],
+            "extract_pages_per_sec_big": ceil_big["pages_per_sec"],
             **hardware_ceiling(),
         },
     }

@@ -80,7 +80,10 @@ def _clamped_limits(args) -> tuple[int, int]:
     return depth, pages
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """`spark=None` builds a local session; pass an existing session to run
+    under spark-submit (tools/submit_crawl.py does this so the cluster
+    master/conf from spark-submit is inherited, not overridden)."""
     args = build_parser().parse_args(argv)
     if not (args.crawl or args.medium):
         build_parser().print_help()
@@ -108,9 +111,10 @@ def main(argv: list[str] | None = None) -> int:
                   f"Will crawl up to {max_pages} pages.")
         print(f"Starting website crawl from URL: {start_url}")
 
-    master = f"local[{args.threads}]" if args.threads else None
-    spark = build_session("hppse-cli", master=master,
-                          shuffle_partitions=args.threads)
+    if spark is None:
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = build_session("hppse-cli", master=master,
+                              shuffle_partitions=args.threads)
     if args.pages_table:
         pages = spark.read.parquet(args.pages_table) \
             .select("url", "warc_ts", "html", "lang")

@@ -43,6 +43,17 @@ def extract_title_udf(html: pd.Series) -> pd.Series:
         .decode("utf-8", errors="replace"), na_action=None)
 
 
+@F.pandas_udf(StringType())
+def medium_filename_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+    """S4 medium variant (crawler.c:800-845): title slug / profile user /
+    url-hash filename."""
+    from ..kernel.html import derive_medium_filename
+
+    return pd.Series([
+        derive_medium_filename(u or "", bytes(h) if h is not None else b"")
+        for u, h in zip(url, html)])
+
+
 def _extract_one(html, base_url: str, max_depth_reached: bool):
     text = html_to_text(bytes(html) if html is not None else b"")
     links = [] if max_depth_reached else extract_links(

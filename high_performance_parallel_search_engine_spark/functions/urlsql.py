@@ -98,6 +98,40 @@ def url_diversity_col(url: Column) -> Column:
             .otherwise(F.lit(0)))
 
 
+def url_hash_filename_col(url: Column) -> Column:
+    """webpage_%u.txt hash fallback (crawler.c:84-90): java-style 31*h+byte
+    over the utf-8 bytes (byte-exact via hex-pair folding), unsigned 32."""
+    pairs = F.filter(F.split(F.hex(F.encode(url, "utf-8")), r"(?<=\G..)"),
+                     lambda x: x != "")
+    h = F.aggregate(
+        pairs, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + F.conv(x, 16, 10).cast("long"),
+                              F.lit(4294967296).cast("long")))
+    return F.concat(F.lit("webpage_"), h.cast("string"), F.lit(".txt"))
+
+
+def derive_filename_col(url: Column) -> Column:
+    """S4 get_url_filename (crawler.c:58-90) as a pure Column: last path
+    segment, query stripped, kept only when 0 < len < 50; else the url-hash
+    name. Mirrors kernel.urls.derive_filename exactly (incl. the quirk that
+    an empty or >=50-char pre-'?' prefix falls to the hash, not to the
+    plain-segment branch)."""
+    seg = F.regexp_extract(url, r"/([^/]*)$", 1)
+    has_tail = url.contains("/") & (F.length(seg) > 0)
+    q = F.instr(seg, "?")
+    keep_q = has_tail & (q > 1) & (q - 1 < 50)
+    keep_plain = has_tail & (q == 0) & (F.length(seg) < 50)
+    return (F.when(keep_q, seg.substr(F.lit(1), q - 1))
+            .when(keep_plain, seg)
+            .otherwise(url_hash_filename_col(url)))
+    """Diversity score 0-3 (OpenMP Version/src/crawler.c:694-699);
+    /tag/-family checked first, mirroring kernel.urls.url_diversity."""
+    return (F.when(url.contains("/tag/") | url.contains("/topic/")
+                   | url.contains("/category/"), F.lit(2))
+            .when(url.contains("/@") | url.contains("/author/"), F.lit(3))
+            .otherwise(F.lit(0)))
+
+
 def is_html_content_url_col(url: Column) -> Column:
     """URL-extension half of is_html_content (crawler.c:848-858): last-dot
     suffix check against 7 asset types."""

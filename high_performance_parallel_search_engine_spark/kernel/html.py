@@ -49,6 +49,12 @@ _TEXT_BUFFER_CAP = 9999  # sizeof(text_buffer) - 1
 # by differential fuzz vs the compiled C reference).
 _FLOW_SPECIAL = re.compile(rb"[<&\t\n\v\f\r ]")
 _ANGLE = re.compile(rb"[<>]")
+# A maximal run of words separated by SINGLE 0x20 spaces: such a run passes
+# through the C state machine verbatim (each single space is emitted with
+# consecutive_spaces 0->1, immediately reset by the following word byte), so
+# it can be copied in one slice. Runs of >=2 whitespace, tabs/newlines, '<'
+# and '&' all stop the match and fall to the authoritative per-char logic.
+_WORD_RUN = re.compile(rb"[^<&\t\n\v\f\r ]+(?: [^<&\t\n\v\f\r ]+)*")
 
 
 def _nul_truncate(b: bytes) -> bytes:
@@ -179,6 +185,17 @@ def html_to_text(html: bytes) -> bytes:
                 break  # no further '<'/'>': no state change possible
             i = m.start()
         elif in_title or in_heading or in_paragraph:
+            mr = _WORD_RUN.match(h, i)
+            if mr is not None:
+                j = mr.end()
+                # bulk only when the whole run fits under the cap (the run
+                # starts with a word byte, so every inner single space
+                # follows a non-WS buf tail and appends verbatim); a run
+                # crossing the cap falls to the per-char authoritative path.
+                if (j - i) + len(buf) <= _TEXT_BUFFER_CAP:
+                    buf.extend(h[i:j])
+                    i = j
+                    continue
             m = _FLOW_SPECIAL.search(h, i)
             j = m.start() if m else n
             if j > i:
@@ -195,13 +212,16 @@ def html_to_text(html: bytes) -> bytes:
                     i += 1
                 continue
         else:
-            m = _FLOW_SPECIAL.search(h, i)
-            j = m.start() if m else n
-            if j > i:
-                out.extend(h[i:j])
+            mr = _WORD_RUN.match(h, i)
+            if mr is not None:
+                # whole word-run (single spaces included) copies verbatim:
+                # each inner space hits the C collapse with
+                # consecutive_spaces == 0 and the following word byte
+                # resets it, so output == input for the entire run.
+                out.extend(h[i:mr.end()])
                 content_written = True
                 consecutive_spaces = 0
-                i = j
+                i = mr.end()
                 continue
             if h[i] in _WS:  # collapse the whole whitespace run at once
                 if consecutive_spaces == 0:
@@ -393,6 +413,36 @@ def extract_title(html: bytes) -> bytes:
     for ent, ch in ((b"&amp;", b"&"), (b"&lt;", b"<"), (b"&gt;", b">")):
         title = title.replace(ent, ch)
     return title
+
+
+def derive_medium_filename(url: str, html: bytes) -> str:
+    """S4 (medium variant): get_medium_filename (Serial Version/src/
+    crawler.c:800-845). Title slug -> medium_<slug>.txt; else profile
+    username -> medium_profile_<user>.txt; else the url-hash fallback.
+    The slug keeps [a-zA-Z0-9 _-] bytes (C isalnum, so ASCII only),
+    space->'_', lowercased, capped at 251 output bytes."""
+    from .urls import derive_filename
+
+    title = extract_title(html)
+    if title:
+        out = bytearray()
+        for c in title:
+            if len(out) >= 251:
+                break
+            ch = chr(c)
+            if ch.isascii() and (ch.isalnum() or ch in " -_"):
+                out.append(ord("_") if ch == " " else ord(ch.lower()))
+        if out:
+            return f"medium_{out.decode('ascii')}.txt"
+    if "medium.com/@" in url:
+        user = url[url.find("@") + 1:]
+        for i, ch in enumerate(user):
+            if ch in "/?" or i >= 99:
+                user = user[:i]
+                break
+        if user:
+            return f"medium_profile_{user}.txt"
+    return derive_filename(url)
 
 
 def iter_href_candidates(html: bytes):

@@ -206,6 +206,36 @@ def url_priority(url: str, base_url: str) -> int:
     return pr
 
 
+def url_hash_filename(url: str) -> str:
+    """The hash fallback of get_url_filename (Serial Version/src/
+    crawler.c:84-90): java-style h = 31*h + byte over the url bytes,
+    unsigned 32-bit, rendered as webpage_%u.txt."""
+    h = 0
+    for b in url.encode("utf-8"):
+        h = (h * 31 + b) & 0xFFFFFFFF
+    return f"webpage_{h}.txt"
+
+
+def derive_filename(url: str) -> str:
+    """S4: get_url_filename (Serial Version/src/crawler.c:58-90).
+
+    Last path segment (text after the LAST '/'), query string stripped;
+    kept only when 0 < len < 50. Quirks preserved: a trailing-slash url, an
+    empty-before-'?' segment, or a segment of >= 50 chars all fall through
+    to the url-hash name (NOT to each other's branches)."""
+    slash = url.rfind("/")
+    if slash >= 0 and len(url) - slash > 1:
+        seg = url[slash + 1:]
+        q = seg.find("?")
+        if q >= 0:
+            if 0 < q < 50:
+                return seg[:q]
+        else:
+            if 0 < len(seg) < 50:
+                return seg
+    return url_hash_filename(url)
+
+
 def url_diversity(url: str) -> int:
     """Diversity score 0-3 (OpenMP Version/src/crawler.c:694-699): tag/topic/
     category pages score 2, author pages 3, everything else 0. The /tag/

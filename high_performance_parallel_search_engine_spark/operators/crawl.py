@@ -103,13 +103,17 @@ class CrawlConfig:
     # merge url_seen deltas every k completed rounds (None = never);
     # bounds the multi-dir anti-join fan-in on long crawls
     compact_every: int | None = None
+    # bucket count of a bucket-partitioned pages table (sources/tables.py
+    # write_bucketed_pages); enables partition-pruned fetch scans for small
+    # frontiers. None = unbucketed pages.
+    pages_buckets: int | None = None
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in (
             "max_depth", "max_pages", "failure_stop", "max_links_per_page",
             "default_budget", "politeness", "robots", "priority",
             "arbitration", "use_bloom", "max_rounds", "trace",
-            "compact_every")}
+            "compact_every", "pages_buckets")}
 
 
 @dataclass
@@ -241,6 +245,28 @@ def _robots_df(spark: SparkSession, config: CrawlConfig) -> DataFrame | None:
                                  "host string, rule string, path_prefix string")
 
 
+def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
+                           config: CrawlConfig, state: CrawlState) -> DataFrame:
+    """Partition-prune a bucket-partitioned pages table (sources/tables.py
+    write_bucketed_pages) to the frontier's buckets. Semantics-neutral: a
+    pruned page can never match the fetch join (its bucket holds no frontier
+    url). Skipped for big frontiers (expected to touch every bucket) so the
+    tiny distinct-buckets job only runs when it can actually prune - this is
+    what makes a 32-URL round against a 100 TB corpus cost 32 buckets, not a
+    full scan."""
+    B = config.pages_buckets
+    if not B or "bucket" not in pages.columns:
+        return pages
+    if not (0 < state.next_frontier_rows <= 4 * B):
+        return pages  # likely all buckets hit; skip the pruning job
+    bks = sorted(r["b"] for r in frontier.select(
+        F.pmod(F.xxhash64("url"), F.lit(B)).cast("int").alias("b"))
+        .distinct().collect())
+    if len(bks) >= B:
+        return pages
+    return pages.where(F.col("bucket").isin(bks))
+
+
 def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
                    state: CrawlState, config: CrawlConfig) -> dict:
     """Throughput-mode round (config.trace=False): same dataflow as
@@ -265,6 +291,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
+    pages = _prune_pages_by_bucket(pages, frontier, config, state)
 
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
     f = apply_robots(f, _robots_df(spark, config))
@@ -377,6 +404,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
+    pages = _prune_pages_by_bucket(pages, frontier, config, state)
 
     # ---- gates: validity (silent), robots, politeness ----
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))

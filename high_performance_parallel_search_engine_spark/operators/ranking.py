@@ -64,20 +64,25 @@ def bm25_score_col(tf, dl, avg_dl, idf, k1: float = BM25_K1, b: float = BM25_B):
 
 def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
               total_docs: int | None = None, top_k: int = 10,
-              stopwords=DEFAULT_STOPWORDS, fallback: bool = False) -> DataFrame:
+              stopwords=DEFAULT_STOPWORDS, fallback: bool = False,
+              avg_dl: float | None = None) -> DataFrame:
     """Returns (doc_id, score) for the top_k positive-score docs, ordered by
     (score desc, doc_id asc) - deterministic tie-break (the C qsort is
     unstable; ties are broken by doc_id in both our engine and the oracle).
 
     total_docs defaults to countDistinct(doc_id) of doc_stats; avg_dl is
-    computed as in ranking.c:39-42 (sum dl / total_docs).
+    computed as in ranking.c:39-42 (sum dl / total_docs). Both are
+    index-time corpus stats (the C computes them from the already-loaded
+    in-memory index); pass them in on a warm index so a query costs no
+    extra aggregation jobs.
     """
     spark = postings.sparkSession
     if total_docs is None:
         total_docs = doc_stats.count()
     if total_docs == 0:
         return spark.createDataFrame([], "doc_id long, score double")
-    avg_dl = (doc_stats.agg(F.sum("dl")).collect()[0][0] or 0) / total_docs
+    if avg_dl is None:
+        avg_dl = (doc_stats.agg(F.sum("dl")).collect()[0][0] or 0) / total_docs
 
     terms = query_terms(query, stopwords)
     if not terms:

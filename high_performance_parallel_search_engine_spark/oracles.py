@@ -299,6 +299,83 @@ def q_url_diversity(spark, sf_dir):
         .alias("combined_score"))
 
 
+def _url_hash_fname_sql(u: str) -> str:
+    """DuckDB rendering of the webpage_%u.txt byte hash (crawler.c:84-90)."""
+    return (
+        f"'webpage_' || CAST(CAST(list_reduce(list_prepend(0::HUGEINT, "
+        f"list_transform(generate_series(1, octet_length(encode({u}))), "
+        f"i -> CAST(('0x' || substr(hex(encode({u})), 2 * i - 1, 2)) AS INT))), "
+        f"(h, b) -> (h * 31 + b) % 4294967296) AS BIGINT) AS VARCHAR) "
+        f"|| '.txt'")
+
+
+def _fname_sql(u: str) -> str:
+    """DuckDB rendering of get_url_filename (crawler.c:58-90)."""
+    seg = f"regexp_extract({u}, '/([^/]*)$', 1)"
+    q = f"strpos({seg}, '?')"
+    return f"""
+CASE WHEN contains({u}, '/') AND length({seg}) > 0
+          AND {q} > 1 AND {q} - 1 < 50
+     THEN substr({seg}, 1, {q} - 1)
+     WHEN contains({u}, '/') AND length({seg}) > 0
+          AND {q} = 0 AND length({seg}) < 50
+     THEN {seg}
+     ELSE {_url_hash_fname_sql(u)} END"""
+
+
+# S4: filename derivation (Serial Version/src/crawler.c:58-90)
+@q("derive_filename", f"""
+WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS url
+             FROM documents)
+SELECT doc_id, url, ({_fname_sql('url')}) AS filename FROM raw""")
+def q_derive_filename(spark, sf_dir):
+    from .functions.urlsql import derive_filename_col
+
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    return docs.select("doc_id", u.alias("url"),
+                       derive_filename_col(u).alias("filename"))
+
+
+# S4 medium variant (crawler.c:800-845): html synthesized as in the
+# extract_title gate; the oracle states each case's expected name directly.
+# doc_id%7==0 is a medium profile url with title-less html -> profile name;
+# 1..3 are title-less non-medium urls -> get_url_filename; 4..6 carry a
+# title 'Doc <id> & <source> <x>' -> slug medium_doc_<id>__<source>_x.txt.
+@q("medium_filename", f"""
+WITH raw AS (SELECT doc_id, source,
+                    substr({SYNTH_URL_SQL}, 1, 1023) AS url
+             FROM documents)
+SELECT doc_id, url,
+       CASE WHEN doc_id % 7 >= 4
+            THEN 'medium_doc_' || doc_id || '__' || source || '_x.txt'
+            WHEN contains(url, 'medium.com/@')
+            THEN 'medium_profile_' || regexp_extract(url, '@([^/?]*)', 1)
+                 || '.txt'
+            ELSE ({_fname_sql('url')}) END AS filename
+FROM raw""")
+def q_medium_filename(spark, sf_dir):
+    from .functions.udfs import medium_filename_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    u = F.substring(synth_url_col(), 1, 1023)
+    m = F.col("doc_id") % 7
+    html = (
+        F.when(m == 0, F.lit("<html><head></head><body>no</body></html>"))
+        .when(m == 1, F.lit("<html><title></title></html>"))
+        .when(m == 2, F.concat(F.lit("<html><title>unclosed "),
+                               F.col("source")))
+        .when(m == 3, F.lit("<html><title"))
+        .otherwise(F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" &amp; "), F.col("source"),
+            F.lit(" &lt;x&gt;</title></head><body>b</body></html>"))))
+    return docs.select(
+        "doc_id", u.alias("url"),
+        medium_filename_udf(u, F.encode(html, "utf-8")).alias("filename"))
+
+
 # --- C4/C7/C2 analogs over events/orders -------------------------------------
 
 @q("per_parent_cap", """

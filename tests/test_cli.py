@@ -40,3 +40,24 @@ def test_cli_medium_profile_defaults(capsys, tmp_path, spark):
     assert rc == 0
     assert "Crawling Medium profile: https://medium.com/@user0" in out
     assert "Successfully crawled" in out
+
+
+def test_submit_zip_importable(tmp_path):
+    """--py-files artifact: the zip alone must be importable (pure Python)."""
+    import subprocess
+    import sys
+
+    from tools.make_submit_zip import build_zip
+
+    out = build_zip("dist")
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from high_performance_parallel_search_engine_spark.kernel.urls "
+        "import normalize_url; "
+        "from high_performance_parallel_search_engine_spark.operators.crawl "
+        "import CrawlConfig; "
+        "print(normalize_url('https://A.com/x/'))" % out)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "a.com" in r.stdout.lower()

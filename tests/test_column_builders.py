@@ -87,3 +87,47 @@ def test_extract_udf_matches_kernel(spark):
         got = out[r["url"]]
         assert got["text"] == html_to_text(r["html"]).decode("utf-8")
         assert list(got["links"]) == extract_links(r["html"], r["url"])
+
+
+def test_derive_filename_kernel_quirks():
+    """S4 get_url_filename (crawler.c:58-90) edge semantics."""
+    from high_performance_parallel_search_engine_spark.kernel.urls import (
+        derive_filename,
+        url_hash_filename,
+    )
+
+    assert derive_filename("https://a.com/path/page.html") == "page.html"
+    assert derive_filename("https://a.com/p?x=1") == "p"
+    # trailing slash, empty-before-?, >=50-char segment -> hash fallback
+    assert derive_filename("https://a.com/x/").startswith("webpage_")
+    assert derive_filename("https://a.com/?x=1").startswith("webpage_")
+    long_seg = "https://a.com/" + "s" * 50
+    assert derive_filename(long_seg).startswith("webpage_")
+    assert derive_filename("https://a.com/" + "s" * 49) == "s" * 49
+    # the pre-'?' length check is its own gate: 50+ chars before ? -> hash
+    assert derive_filename(
+        "https://a.com/" + "s" * 50 + "?x").startswith("webpage_")
+    # java-style unsigned 32-bit byte hash
+    assert url_hash_filename("") == "webpage_0.txt"
+    h = 0
+    for b in b"ab":
+        h = (h * 31 + b) & 0xFFFFFFFF
+    assert url_hash_filename("ab") == f"webpage_{h}.txt"
+
+
+def test_medium_filename_kernel():
+    from high_performance_parallel_search_engine_spark.kernel.html import (
+        derive_medium_filename,
+    )
+
+    html = b"<html><title>My Great Post! (2024)</title></html>"
+    # '!','(',')' dropped; spaces -> '_'; lowered
+    assert derive_medium_filename("https://x.com/a", html) == \
+        "medium_my_great_post_2024.txt"
+    # no title -> profile username (cut at / ? but NOT #)
+    assert derive_medium_filename("https://medium.com/@usr/p?q", b"") == \
+        "medium_profile_usr.txt"
+    assert derive_medium_filename("https://medium.com/@u#f", b"") == \
+        "medium_profile_u#f.txt"
+    # no title, no profile -> url filename
+    assert derive_medium_filename("https://a.com/page", b"") == "page"

@@ -185,6 +185,49 @@ def test_priority_mode_exact_parity(spark, tmp_path, pages_df=None):
     assert got == want
 
 
+def test_bucketed_pages_crawl_parity(spark, tmp_path):
+    """A bucket-partitioned pages table (partition-pruned fetch scans) must
+    produce the identical event trace as the plain table."""
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        read_bucketed_pages,
+        write_bucketed_pages,
+    )
+
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=30, n_medium=6,
+                            with_oracle_text=False))
+    seeds = [page_url(0, 0), "https://medium.com/@user0"]
+    plain = _pages_df(spark, rows)
+    bpath = str(tmp_path / "bucketed_pages")
+    write_bucketed_pages(plain, bpath, n_buckets=16)
+    bucketed, nb = read_bucketed_pages(spark, bpath)
+    assert nb == 16 and "bucket" in bucketed.columns
+
+    w1 = str(tmp_path / "plain")
+    w2 = str(tmp_path / "bkt")
+    run_crawl(spark, plain, seeds, w1,
+              CrawlConfig(max_depth=3, max_pages=10_000))
+    run_crawl(spark, bucketed, seeds, w2,
+              CrawlConfig(max_depth=3, max_pages=10_000, pages_buckets=16))
+    ev1 = [(r["seq"], r["url"], r["action"]) for r in
+           spark.read.parquet(f"{w1}/round=*/events.parquet")
+           .orderBy("seq").collect()]
+    ev2 = [(r["seq"], r["url"], r["action"]) for r in
+           spark.read.parquet(f"{w2}/round=*/events.parquet")
+           .orderBy("seq").collect()]
+    assert ev1 == ev2 and len(ev1) > 0
+    # fast path too
+    w3 = str(tmp_path / "bkt_fast")
+    st = run_crawl(spark, bucketed, seeds, w3,
+                   CrawlConfig(max_depth=3, max_pages=1 << 40,
+                               failure_stop=1 << 40, arbitration="scale",
+                               trace=False, pages_buckets=16))
+    fetched_fast = {r["url"] for r in
+                    spark.read.parquet(f"{w3}/round=*/pages.parquet")
+                    .select("url").collect()}
+    fetched_exact = {u for (_, u, a) in ev1 if a == "fetched"}
+    assert fetched_fast == fetched_exact
+
+
 def test_openmp_priority_mode_exact_parity(spark, tmp_path):
     """priority='openmp' (combined insertion policy, OpenMP Version/src/
     crawler.c:693-731) must match the oracle EVENT-FOR-EVENT."""

@@ -38,21 +38,36 @@ def main() -> None:
                           extra_conf={
                               "spark.sql.files.maxPartitionBytes": "8388608"})
 
-    # warmup: tiny crawl compiles the round pipeline + spawns workers
+    # warmup: tiny crawl compiles the round pipeline + spawns workers, on a
+    # BUCKETED tiny corpus with the same config shape as the timed run so
+    # the pruned-scan plans and codegen caches are the ones the timed crawl
+    # will hit
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        write_bucketed_pages as _wbp,
+    )
+
     tiny = build_corpus_df(spark, n_hosts=1, pages_per_host=30, n_medium=0,
                            with_oracle_text=False)
     tp = tempfile.mkdtemp(prefix="warm_")
-    tiny.select("url", "warc_ts", "html", "lang").write.mode("overwrite") \
-        .parquet(tp + "/p")
+    _wbp(tiny.select("url", "warc_ts", "html", "lang"), tp + "/p",
+         n_buckets=16)
     wwd = tempfile.mkdtemp(prefix="warm_wd_")
     run_crawl(spark, spark.read.parquet(tp + "/p"), [page_url(0, 0)], wwd,
               CrawlConfig(max_depth=depth, max_pages=1 << 40,
                           failure_stop=1 << 40, arbitration="scale",
-                          max_rounds=depth + 1, trace=False))
+                          max_rounds=depth + 1, trace=False,
+                          pages_buckets=16))
     shutil.rmtree(tp, ignore_errors=True)
     shutil.rmtree(wwd, ignore_errors=True)
 
-    pages = spark.read.parquet(corpus_path)
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        read_bucketed_pages,
+    )
+
+    try:
+        pages, n_buckets = read_bucketed_pages(spark, corpus_path)
+    except FileNotFoundError:
+        pages, n_buckets = spark.read.parquet(corpus_path), None
     # warm the page cache + parquet footers so the timed run measures the
     # engine, not cold disk
     from pyspark.sql import functions as F
@@ -61,18 +76,25 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(max_depth=depth, max_pages=1 << 40,
                       failure_stop=1 << 40, arbitration="scale",
-                      max_rounds=depth + 1, trace=False)
+                      max_rounds=depth + 1, trace=False,
+                      pages_buckets=n_buckets)
     t0 = time.monotonic()
     state = run_crawl(spark, pages, seeds, workdir, cfg)
     wall = time.monotonic() - t0
+    import os
     out = {
         "threads": threads,
+        "corpus": {"hosts": n_hosts,
+                   "pages_per_host": int(os.environ.get(
+                       "BENCH_PAGES_PER_HOST", "6175")),
+                   "pad_paras": int(os.environ.get("BENCH_PAD_PARAS", "48"))},
         "pages_fetched": state.pages_crawled,
         "rounds": state.round,
         "wall_sec": round(wall, 2),
         "urls_per_sec": round(state.pages_crawled / wall, 2),
         "rounds_per_hour": round(state.round / (wall / 3600), 1),
         "round_walls": [m["wall_sec"] for m in state.metrics],
+        "stage_walls": [m.get("stage_wall", {}) for m in state.metrics],
     }
     shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
