@@ -154,6 +154,44 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return voted.select("doc_id", sim.alias("simhash"))
 
 
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.8,
+                          n_planes: int = 8, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_bucket_size: int | None = MAX_BUCKET_SIZE) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to
+    same-sign-LSH-bucket vectors (never all-pairs), exact integer-quantized
+    cosine on candidates, keep pairs with cos >= threshold. Returns
+    (doc_a, doc_b, cos rounded 6) with doc_a < doc_b.
+
+    Recall < 1 by construction (near-dups differing across a hyperplane are
+    missed) - the standard trade at 10^10 rows; raise recall by lowering
+    n_planes or probing neighbor buckets. The same bucket-size cap as
+    minhash_lsh_pairs bounds within-bucket pair blowup."""
+    from .similarity import hyperplane_lsh_buckets, int_dot, quant_col
+
+    buckets = hyperplane_lsh_buckets(embeddings, n_planes=n_planes,
+                                     id_col=id_col, vec_col=vec_col)
+    if max_bucket_size is not None:
+        hot = (buckets.groupBy("bucket").agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_bucket_size).select("bucket"))
+        buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    wb = (embeddings.select(F.col(id_col).alias("vec_id"),
+                            quant_col(F.col(vec_col)).alias("v"))
+          .join(buckets, "vec_id"))
+    a = wb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+                  "bucket")
+    b = wb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+                  "bucket")
+    dot = int_dot(F.col("va"), F.col("vb")).cast("double")
+    na = F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double"))
+    nb = F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double"))
+    return (a.join(b, "bucket")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cos", F.round(dot / (na * nb), 6))
+            .where(F.col("cos") >= threshold)
+            .select("doc_a", "doc_b", "cos"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = SHINGLE_K,
                         threshold: float = 0.5,

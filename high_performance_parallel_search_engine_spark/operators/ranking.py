@@ -105,12 +105,17 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     df_tbl = (postings.join(F.broadcast(cdf), "term")
               .groupBy("qpos", "pref", "term")
               .agg(F.countDistinct("doc_id").alias("df")))
-    # Per query position keep the best-preference candidate that actually
-    # exists in the index (primary beats retry, as in the C's early break).
-    wq = Window.partitionBy("qpos")
-    sel = (df_tbl.withColumn("_minpref", F.min("pref").over(wq))
-           .where(F.col("pref") == F.col("_minpref"))
-           .select("qpos", "term", "df"))
+    if fallback:
+        # Per query position keep the best-preference candidate that exists
+        # in the index (primary beats retry, as in the C's early break).
+        wq = Window.partitionBy("qpos")
+        sel = (df_tbl.withColumn("_minpref", F.min("pref").over(wq))
+               .where(F.col("pref") == F.col("_minpref"))
+               .select("qpos", "term", "df"))
+    else:
+        # all candidates are pref 0: the min-pref window is a no-op - skip
+        # its exchange (one less stage on every warm query)
+        sel = df_tbl.select("qpos", "term", "df")
 
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
@@ -130,3 +135,59 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
+                    queries: list[str], total_docs: int | None = None,
+                    top_k: int = 5, stopwords=DEFAULT_STOPWORDS,
+                    avg_dl: float | None = None) -> DataFrame:
+    """The evaluation harness shape (Serial Version/src/evaluate.c:12-18:
+    5 fixed queries, top-5): N queries ranked in ONE plan. Returns
+    (query_id, doc_id, score, rk) with rk 1..top_k per query, ordered
+    (score desc, doc_id asc) within each query.
+
+    Plan: one candidate table carrying query_id broadcasts into the postings
+    scan once; per-query df rides the same aggregate; per-query top-k is a
+    window over query_id. A thousand queries cost one postings pass, not a
+    thousand - the batch-scoring shape of the reference's GPU variant
+    (Super Hybrid Version/src/cuda_kernels.cu:211-321) on the JVM."""
+    spark = postings.sparkSession
+    if total_docs is None:
+        total_docs = doc_stats.count()
+    empty = spark.createDataFrame(
+        [], "query_id int, doc_id long, score double, rk int")
+    if total_docs == 0:
+        return empty
+    if avg_dl is None:
+        avg_dl = (doc_stats.agg(F.sum("dl")).collect()[0][0] or 0) / total_docs
+
+    cands = []
+    for qid, query in enumerate(queries):
+        for i, t in enumerate(query_terms(query, stopwords)):
+            cands.append((qid, i, t))
+    if not cands:
+        return empty
+    cdf = spark.createDataFrame(cands, "query_id int, qpos int, term string")
+
+    df_tbl = (postings.join(F.broadcast(cdf), "term")
+              .groupBy("query_id", "qpos", "term")
+              .agg(F.countDistinct("doc_id").alias("df")))
+    idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        postings
+        .join(F.broadcast(df_tbl.select("query_id", "qpos", "term", "df")),
+              "term")
+        .join(doc_stats, "doc_id")
+        .withColumn("score_part", bm25_score_col(
+            F.col("tf").cast("double"), F.col("dl").cast("double"),
+            F.lit(float(avg_dl)), idf))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_part").alias("score"))
+        .where(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= top_k)
+            .select("query_id", "doc_id", F.col("score"), "rk"))

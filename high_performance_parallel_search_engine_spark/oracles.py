@@ -567,6 +567,64 @@ FROM scored GROUP BY doc_id HAVING SUM(part) > 0
 ORDER BY round(SUM(part), 4) DESC, doc_id LIMIT 10"""
 
 
+# Evaluation-harness shape (Serial Version/src/evaluate.c:12-18: 5 fixed
+# queries, top-5 each) - N queries ranked in ONE plan. The reference's
+# sample queries target its own crawl corpus; these target ours.
+EVAL_QUERIES = ["spark join", "window stream filter", "hash batch scan",
+                "sort merge", "vector"]
+
+
+def _eval_cand_values() -> str:
+    rows = []
+    for qid, query in enumerate(EVAL_QUERIES):
+        for i, t in enumerate(RK.query_terms(query)):
+            rows.append(f"({qid}, {i}, '{t}')")
+    return ", ".join(rows)
+
+
+ORACLE_BM25_EVAL = TOK_CTE + f"""
+, postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM kept
+               GROUP BY term, doc_id),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM kept GROUP BY doc_id),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n,
+                 SUM(dl) * 1.0 / COUNT(*) AS avg_dl FROM dl),
+qcand AS (SELECT * FROM (VALUES {_eval_cand_values()})
+          AS v(query_id, qpos, term)),
+dfs AS (SELECT q.query_id, q.qpos, q.term, COUNT(DISTINCT p.doc_id) AS df
+        FROM postings p JOIN qcand q ON p.term = q.term
+        GROUP BY q.query_id, q.qpos, q.term),
+scored AS (
+  SELECT f.query_id, p.doc_id,
+         SUM(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * ((p.tf * (1.5 + 1))
+                / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / s.avg_dl)))) AS sc
+  FROM postings p
+  JOIN dfs f ON p.term = f.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY f.query_id, p.doc_id HAVING SUM(
+    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+    * ((p.tf * (1.5 + 1))
+       / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / s.avg_dl)))) > 0
+), ranked AS (
+  SELECT query_id, doc_id, round(sc, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= 5"""
+
+
+@q("bm25_eval_batch", ORACLE_BM25_EVAL)
+def q_bm25_eval_batch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    out = RK.rank_bm25_batch(postings, stats, EVAL_QUERIES, top_k=5)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 4).alias("score"), "rk")
+
+
 @q("bm25_fallback_topk", ORACLE_BM25_FB)
 def q_bm25_fallback_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -925,6 +983,31 @@ SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5"""
 @q("lsh_cosine_topk", ORACLE_LSH_COSINE)
 def q_lsh_cosine_topk(spark, sf_dir):
     return SIM.lsh_cosine_topk(_t(spark, sf_dir, "embeddings"), _QIDS, k=5)
+
+
+# Embedding-cosine near-dup pairs (dedup family #5). The synthetic
+# embeddings are random (no true near-dups: max in-bucket cos ~0.46), so
+# the GATE runs the operator at threshold 0.2 to select the top similarity
+# tail and exercise the full bucket->exact-cosine->threshold machinery;
+# the production default stays 0.8.
+ORACLE_COS_NEARDUP = "WITH " + _bucket_cte_sql(8).lstrip() + f""",
+wb AS (SELECT e.vec_id, {_lquant_sql('e.embedding')} AS v, b.bucket
+       FROM embeddings e JOIN buckets b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(CAST({_ldot_sql('a.v', 'b.v')} AS DOUBLE) /
+               (sqrt(CAST({_ldot_sql('a.v', 'a.v')} AS DOUBLE))
+                * sqrt(CAST({_ldot_sql('b.v', 'b.v')} AS DOUBLE))), 6)
+           AS cos
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cos FROM pairs WHERE cos >= 0.2"""
+
+
+@q("cosine_near_dup_pairs", ORACLE_COS_NEARDUP)
+def q_cosine_near_dup_pairs(spark, sf_dir):
+    return D.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                   threshold=0.2)
 
 
 # --- text analysis ------------------------------------------------------------

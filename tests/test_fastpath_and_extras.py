@@ -325,3 +325,72 @@ def test_auto_compaction_preserves_parity(spark, tmp_path):
            .orderBy("seq").collect()]
     want = [(e.seq, e.url, e.action) for e in expected.events]
     assert got == want
+
+
+def test_parse_robots_txt_semantics():
+    from high_performance_parallel_search_engine_spark.operators.robots import (
+        parse_robots_txt,
+    )
+
+    txt = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 10
+
+User-agent: otherbot
+Disallow: /
+
+User-agent: mybot
+User-agent: *
+Disallow: /tmp/
+Disallow:
+Sitemap: https://h/sitemap.xml
+"""
+    rules = parse_robots_txt("h.com", txt)
+    assert ("h.com", "disallow", "/private/") in rules
+    assert ("h.com", "allow", "/private/ok") in rules
+    assert ("h.com", "disallow", "/tmp/") in rules          # multi-agent group
+    assert all(p != "/" for _, _, p in rules)               # otherbot group skipped
+    assert all(p for _, _, p in rules)                      # empty Disallow dropped
+    assert parse_robots_txt("h", "", agent="x") == []
+    # agent-specific group matches
+    r2 = parse_robots_txt("h", "User-agent: MyBot\nDisallow: /a\n",
+                          agent="mybot")
+    assert r2 == [("h", "disallow", "/a")]
+
+
+def test_robots_txt_df_drives_crawl_like_config_rules(spark, tmp_path):
+    """Rules parsed from robots.txt bodies (distributed) must produce the
+    same crawl as the equivalent hand-written config tuples."""
+    from high_performance_parallel_search_engine_spark.operators.robots import (
+        robots_rules_from_df,
+    )
+
+    rows = list(corpus_rows(n_hosts=2, pages_per_host=30, n_medium=0,
+                            with_oracle_text=False))
+    seeds = [page_url(0, 0), page_url(1, 0)]
+    host0 = "host0.example.com"
+    txt_df = spark.createDataFrame(
+        [(host0, "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"),
+         ("host1.example.com", "# allow everything\n")],
+        "host string, robots_txt string")
+    parsed = [(r["host"], r["rule"], r["path_prefix"])
+              for r in robots_rules_from_df(txt_df).collect()]
+    assert set(parsed) == {(host0, "disallow", "/p/1"),
+                           (host0, "allow", "/p/12")}
+
+    w1 = str(tmp_path / "parsed")
+    w2 = str(tmp_path / "tuples")
+    run_crawl(spark, _pages_df(spark, rows), seeds, w1,
+              CrawlConfig(max_depth=3, max_pages=10_000, robots=parsed))
+    run_crawl(spark, _pages_df(spark, rows), seeds, w2,
+              CrawlConfig(max_depth=3, max_pages=10_000,
+                          robots=[(host0, "disallow", "/p/1"),
+                                  (host0, "allow", "/p/12")]))
+    ev = lambda w: [(r["seq"], r["url"], r["action"]) for r in
+                    spark.read.parquet(f"{w}/round=*/events.parquet")
+                    .orderBy("seq").collect()]
+    assert ev(w1) == ev(w2)
+    assert any(a == "robots_denied" for _, _, a in ev(w1))
