@@ -103,6 +103,97 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 12,
                              bucket.alias("bucket"))
 
 
+def ivf_centroids(n_lists: int = 16, dim: int = 64,
+                  seed: int = 7) -> list[list[int]]:
+    """Deterministic integer-quantized IVF coarse centroids. Seeded uniform
+    draws (no training pass) keep the partitioning reproducible in any
+    engine - the mechanics (assign -> inverted lists -> nprobe search) are
+    exactly learned-IVF's; swap in k-means centroids for better recall when
+    oracle portability is not required."""
+    import random
+
+    cents = []
+    for j in range(n_lists):
+        rng = random.Random(f"ivf:{seed}:{j}")
+        cents.append([round(rng.uniform(-1.0, 1.0) * QUANT)
+                      for _ in range(dim)])
+    return cents
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0).cast("long"), lambda s, x: s + x)
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64, seed: int = 7) -> DataFrame:
+    """(vec_id, list_id): nearest coarse centroid by exact integer L2
+    (64 dims x (2^21)^2 diffs stay far below 2^63; ties break on the lower
+    list id). At 10^10 rows this is the partitioning column for the
+    inverted-list layout - store vectors clustered by list_id and a top-k
+    probe touches nprobe/n_lists of the corpus."""
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(n_lists, dim, seed)
+    cdf = F.broadcast(spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "list_id int, cent array<bigint>"))
+    v = quant_col(F.col(vec_col))
+    scored = (embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+              .crossJoin(cdf)
+              .withColumn("_d", _int_l2(F.col("v"), F.col("cent"))))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("list_id"))
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("vec_id", "list_id"))
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_lists: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, seed: int = 7) -> DataFrame:
+    """IVF ANN: each query probes its nprobe nearest inverted lists and
+    scores exact quantized cosine only within them. Same output shape as
+    cosine_topk (query_id, neighbor_id, cos, rk); recall < 1 by design.
+
+    Plan: one assignment pass over the corpus (broadcast centroids), the
+    tiny query->probe-list table broadcasts back into the corpus join - the
+    corpus is scanned once and never all-pairs'd."""
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(n_lists, dim, seed)
+    cdf = F.broadcast(spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "list_id int, cent array<bigint>"))
+    assigned = (embeddings
+                .select(F.col(id_col).alias("neighbor_id"),
+                        quant_col(F.col(vec_col)).alias("cv"))
+                .join(ivf_assign(embeddings, n_lists, id_col, vec_col, dim,
+                                 seed)
+                      .withColumnRenamed("vec_id", "neighbor_id"),
+                      "neighbor_id"))
+    q = (embeddings.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"),
+                 quant_col(F.col(vec_col)).alias("qv")))
+    probes = (q.crossJoin(cdf)
+              .withColumn("_d", _int_l2(F.col("qv"), F.col("cent")))
+              .withColumn("_r", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.asc("_d"), F.asc("list_id"))))
+              .where(F.col("_r") <= nprobe)
+              .select("query_id", "qv", "list_id"))
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (F.broadcast(probes).join(assigned, "list_id")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(dot / (nq * nc), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rk"))
+
+
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                     n_planes: int = 8, **kw) -> DataFrame:
     """ANN: exact cosine, but only within matching LSH buckets (recall < 1

@@ -1010,6 +1010,75 @@ def q_cosine_near_dup_pairs(spark, sf_dir):
                                    threshold=0.2)
 
 
+# IVF ANN (integer-quantized deterministic coarse centroids; exact integer
+# L2 assignment, nprobe search, exact quantized cosine within probed lists).
+def _ivf_cents_values_sql(n_lists: int = 16) -> str:
+    return ", ".join(
+        f"({j}, {c}::BIGINT[])"
+        for j, c in enumerate(SIM.ivf_centroids(n_lists)))
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+
+
+IVF_ASSIGN_CTE = f"""
+qe AS (SELECT vec_id, {_lquant_sql('embedding')} AS v FROM embeddings),
+cents AS (SELECT * FROM (VALUES {_ivf_cents_values_sql()})
+          AS c(list_id, cent)),
+dists AS (SELECT qe.vec_id, c.list_id, qe.v,
+                 {_l2_sql('qe.v', 'c.cent')} AS d
+          FROM qe CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, list_id, v FROM (
+    SELECT vec_id, list_id, v,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, list_id) AS rk
+    FROM dists) WHERE rk = 1
+)"""
+
+
+@q("ivf_assign", "WITH " + IVF_ASSIGN_CTE.lstrip() + """
+SELECT vec_id, list_id FROM assigned""")
+def q_ivf_assign(spark, sf_dir):
+    return SIM.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_IVF_TOPK = "WITH " + IVF_ASSIGN_CTE.lstrip() + f""",
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT qe.vec_id AS query_id, qe.v AS qv, c.list_id,
+           row_number() OVER (PARTITION BY qe.vec_id
+                              ORDER BY {_l2_sql('qe.v', 'c.cent')},
+                                       c.list_id) AS rk
+    FROM qe CROSS JOIN cents c
+    WHERE qe.vec_id IN ({', '.join(map(str, _QIDS))})
+  ) WHERE rk <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(CAST({_ldot_sql('p.qv', 'a.v')} AS DOUBLE) /
+               (sqrt(CAST({_ldot_sql('p.qv', 'p.qv')} AS DOUBLE))
+                * sqrt(CAST({_ldot_sql('a.v', 'a.v')} AS DOUBLE))), 6)
+           AS cos
+  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+  WHERE p.query_id <> a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5"""
+
+
+@q("ivf_topk", ORACLE_IVF_TOPK)
+def q_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), _QIDS, k=5,
+                        nprobe=4)
+
+
 # --- text analysis ------------------------------------------------------------
 
 _LANG_SCORES_SQL = ",\n       ".join(
