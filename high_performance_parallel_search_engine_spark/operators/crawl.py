@@ -175,16 +175,23 @@ def _write_manifest(d: Path, state: CrawlState, config: CrawlConfig,
     }, indent=1))
 
 
-def load_state(workdir: str) -> tuple[CrawlState, CrawlConfig, int]:
-    """Resume: find the latest committed round (manifest present).
-    Returns (state, config, last_round)."""
+def load_state(workdir: str,
+               from_round: int | None = None) -> tuple[CrawlState, CrawlConfig, int]:
+    """Resume: find the latest committed round (manifest present), or the
+    specific `from_round` snapshot. Returns (state, config, last_round)."""
     dirs = sorted(Path(workdir).glob("round=*"))
     last = None
     for d in dirs:
         if (d / "manifest.json").exists():
-            last = d
+            if from_round is not None:
+                if d == _round_dir(workdir, from_round):
+                    last = d
+            else:
+                last = d
     if last is None:
-        raise FileNotFoundError(f"no committed rounds under {workdir}")
+        raise FileNotFoundError(
+            f"no committed round{'' if from_round is None else f' {from_round}'}"
+            f" under {workdir}")
     m = json.loads((last / "manifest.json").read_text())
     cfg_json = m["config"]
     robots = cfg_json.get("robots")
@@ -219,6 +226,9 @@ def compact_url_seen(spark: SparkSession, workdir: str,
     for r in range(0, upto_round):
         _sh.rmtree(_round_dir(workdir, r) / "url_seen_delta.parquet",
                    ignore_errors=True)
+    # rewind barrier: resume_from cannot rewind past a compaction point
+    # (per-round deltas before it no longer exist individually)
+    (Path(workdir) / "_compacted_upto").write_text(str(upto_round - 1))
     return n
 
 
@@ -693,12 +703,31 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
 
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
               workdir: str, config: CrawlConfig | None = None,
-              resume: bool = False) -> CrawlState:
+              resume: bool = False,
+              resume_from: int | None = None) -> CrawlState:
     """Drive rounds until a stop condition (crawler.c:1075 analog) or the
     frontier drains. `resume=True` continues from the last committed round
-    snapshot instead of re-initializing."""
+    snapshot instead of re-initializing; `resume_from=r` rewinds to round
+    r's snapshot FIRST (discarding every later round's outputs - each round
+    dir is self-contained, so dropping the later dirs restores the exact
+    post-r state; north_star: "resumes exactly from any checkpoint")."""
+    import shutil as _sh
+
     config = config or CrawlConfig()
-    if resume:
+    if resume_from is not None:
+        marker = Path(workdir) / "_compacted_upto"
+        if marker.exists() and resume_from < int(marker.read_text()):
+            raise ValueError(
+                f"cannot resume from round {resume_from}: url_seen deltas "
+                f"up to round {marker.read_text()} were compacted away")
+        state, config, _last = load_state(workdir, from_round=resume_from)
+        for d in sorted(Path(workdir).glob("round=*")):
+            r = int(d.name.split("=")[1])
+            if r > resume_from:
+                _sh.rmtree(d, ignore_errors=True)
+        if state.stopped:
+            return state
+    elif resume:
         state, config, _last = load_state(workdir)
         if state.stopped:
             return state

@@ -196,3 +196,35 @@ def test_all_features_combined_parity(spark, pages_df, tmp_path):
                     robots=robots_rules, priority=True),
         dict(max_depth=3, max_pages=80, politeness=pol,
              robots=robots_dict, priority=True))
+
+
+def test_resume_from_any_round_equals_uninterrupted(spark, pages_df, tmp_path):
+    """north_star: 'resumes exactly from any checkpoint' - rewinding to an
+    EARLIER round and re-running reproduces the identical event trace."""
+    seeds = [seed_urls()[0]]
+    cfg = CrawlConfig(arbitration="exact", max_depth=3, max_pages=60)
+    w_ref = str(tmp_path / "ref")
+    run_crawl(spark, pages_df, seeds, w_ref, cfg)
+    ref_ev = [(r["seq"], r["url"], r["action"]) for r in
+              spark.read.parquet(f"{w_ref}/round=*/events.parquet")
+              .orderBy("seq").collect()]
+
+    w = str(tmp_path / "rewind")
+    run_crawl(spark, pages_df, seeds, w, cfg)
+    # rewind to round 0's snapshot and replay rounds 1.. from there
+    state = run_crawl(spark, pages_df, seeds, w, resume_from=0)
+    got = [(r["seq"], r["url"], r["action"]) for r in
+           spark.read.parquet(f"{w}/round=*/events.parquet")
+           .orderBy("seq").collect()]
+    assert got == ref_ev
+    assert state.stopped in ("frontier_empty", "max_pages")
+    # rewinding past a compaction point is refused
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        compact_url_seen,
+        load_state,
+    )
+    _, _, last = load_state(w)
+    compact_url_seen(spark, w, last + 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compacted"):
+        run_crawl(spark, pages_df, seeds, w, resume_from=0)
