@@ -65,8 +65,9 @@ def phase_queries(spark) -> dict[str, float]:
     timings = {}
     # throwaway warmup so the first headline number measures the operator,
     # not JVM/session/codegen spin-up (round-1 verdict: url_normalize's
-    # 5.2 s was warmup)
-    QUERIES["url_valid"](spark, SF_DIR).count()
+    # 5.2 s was warmup). Must NOT itself be a HEADLINE query, else that
+    # query's reported timing is self-warmed and biased low.
+    QUERIES["url_base_domain"](spark, SF_DIR).count()
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.monotonic()
@@ -145,10 +146,15 @@ def run_crawl_subprocess(threads: int, corpus_path: str,
     cmd = []
     if pin_cores is not None:
         cmd += ["taskset", "-c", f"0-{pin_cores - 1}"]
+    shape = json.dumps({"hosts": N_HOSTS, "pages_per_host": PAGES_PER_HOST,
+                        "pad_paras": PAD_PARAS})
     cmd += [sys.executable, "tools/bench_crawl.py", str(threads),
-            corpus_path, str(N_HOSTS), str(MAX_DEPTH)]
+            corpus_path, str(N_HOSTS), str(MAX_DEPTH), shape]
     proc = subprocess.run(cmd, capture_output=True, text=True,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    if proc.returncode != 0 or not proc.stdout.strip():
+        raise RuntimeError(
+            f"bench_crawl failed (rc={proc.returncode}): {proc.stderr[-2000:]}")
     line = proc.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -166,6 +172,10 @@ def run_ceiling_subprocess(procs: int, corpus_path: str,
             corpus_path]
     proc = subprocess.run(cmd, capture_output=True, text=True,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    if proc.returncode != 0 or not proc.stdout.strip():
+        raise RuntimeError(
+            f"bench_extract_ceiling failed (rc={proc.returncode}): "
+            f"{proc.stderr[-2000:]}")
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
@@ -178,8 +188,10 @@ def speedup_vs_baseline(timings: dict, crawl_big: dict) -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    runs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                  key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    runs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(
+            re.search(r"_r(\d+)", os.path.basename(p)).group(1)))
     if not runs:
         return None
     try:

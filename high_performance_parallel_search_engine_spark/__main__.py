@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print("Failed to crawl website from URL")
         return 1
     print(f"Crawl checkpoints: {workdir} "
-          f"(rounds={state.round + 1}, wall={wall:.2f}s, "
+          f"(rounds={state.round}, wall={wall:.2f}s, "
           f"stop={state.stopped or 'frontier_empty'})")
 
     if args.query:

@@ -124,12 +124,6 @@ def derive_filename_col(url: Column) -> Column:
     return (F.when(keep_q, seg.substr(F.lit(1), q - 1))
             .when(keep_plain, seg)
             .otherwise(url_hash_filename_col(url)))
-    """Diversity score 0-3 (OpenMP Version/src/crawler.c:694-699);
-    /tag/-family checked first, mirroring kernel.urls.url_diversity."""
-    return (F.when(url.contains("/tag/") | url.contains("/topic/")
-                   | url.contains("/category/"), F.lit(2))
-            .when(url.contains("/@") | url.contains("/author/"), F.lit(3))
-            .otherwise(F.lit(0)))
 
 
 def is_html_content_url_col(url: Column) -> Column:

@@ -125,14 +125,14 @@ def _int_l2(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0).cast("long"), lambda s, x: s + x)
 
 
-def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64, seed: int = 7) -> DataFrame:
-    """(vec_id, list_id): nearest coarse centroid by exact integer L2
-    (64 dims x (2^21)^2 diffs stay far below 2^63; ties break on the lower
-    list id). At 10^10 rows this is the partitioning column for the
-    inverted-list layout - store vectors clustered by list_id and a top-k
-    probe touches nprobe/n_lists of the corpus."""
+def _ivf_assign_full(embeddings: DataFrame, n_lists: int,
+                     id_col: str, vec_col: str,
+                     dim: int, seed: int) -> DataFrame:
+    """(vec_id, list_id, v): argmin-centroid assignment carrying the
+    quantized vector, via min_by over a struct ordering key (deterministic
+    (_d, list_id) tie-break) - partial aggregation collapses the
+    N x n_lists expansion map-side; no per-vector sort, and downstream
+    consumers reuse `v` instead of re-quantizing the corpus."""
     spark = embeddings.sparkSession
     cents = ivf_centroids(n_lists, dim, seed)
     cdf = F.broadcast(spark.createDataFrame(
@@ -142,10 +142,23 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
     scored = (embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
               .crossJoin(cdf)
               .withColumn("_d", _int_l2(F.col("v"), F.col("cent"))))
-    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("list_id"))
-    return (scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("vec_id", "list_id"))
+    return (scored.groupBy("vec_id")
+            .agg(F.min_by(F.struct("list_id", "v"),
+                          F.struct("_d", "list_id")).alias("_m"))
+            .select("vec_id", F.col("_m.list_id").alias("list_id"),
+                    F.col("_m.v").alias("v")))
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64, seed: int = 7) -> DataFrame:
+    """(vec_id, list_id): nearest coarse centroid by exact integer L2
+    (64 dims x (2^21)^2 diffs stay far below 2^63; ties break on the lower
+    list id). At 10^10 rows this is the partitioning column for the
+    inverted-list layout - store vectors clustered by list_id and a top-k
+    probe touches nprobe/n_lists of the corpus."""
+    return _ivf_assign_full(embeddings, n_lists, id_col, vec_col, dim,
+                            seed).select("vec_id", "list_id")
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
@@ -156,21 +169,21 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     scores exact quantized cosine only within them. Same output shape as
     cosine_topk (query_id, neighbor_id, cos, rk); recall < 1 by design.
 
-    Plan: one assignment pass over the corpus (broadcast centroids), the
-    tiny query->probe-list table broadcasts back into the corpus join - the
-    corpus is scanned once and never all-pairs'd."""
+    Plan: ONE assignment pass over the corpus (broadcast centroids, min_by
+    agg) yields (neighbor_id, list_id, quantized vector); the query side is
+    a predicate-pushdown-pruned |Q|-row scan; the tiny query->probe-list
+    table broadcasts back into the list join - the corpus is scanned and
+    quantized once and never all-pairs'd."""
     spark = embeddings.sparkSession
     cents = ivf_centroids(n_lists, dim, seed)
     cdf = F.broadcast(spark.createDataFrame(
         [(j, c) for j, c in enumerate(cents)],
         "list_id int, cent array<bigint>"))
-    assigned = (embeddings
-                .select(F.col(id_col).alias("neighbor_id"),
-                        quant_col(F.col(vec_col)).alias("cv"))
-                .join(ivf_assign(embeddings, n_lists, id_col, vec_col, dim,
-                                 seed)
-                      .withColumnRenamed("vec_id", "neighbor_id"),
-                      "neighbor_id"))
+    full = _ivf_assign_full(embeddings, n_lists, id_col, vec_col, dim, seed)
+    assigned = full.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("v").alias("cv"), "list_id")
+    # queries re-quantize from a predicate-pushdown-pruned scan (|Q| rows)
+    # rather than re-running the corpus-wide assignment aggregate
     q = (embeddings.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
                  quant_col(F.col(vec_col)).alias("qv")))

@@ -81,13 +81,13 @@ def main() -> None:
     t0 = time.monotonic()
     state = run_crawl(spark, pages, seeds, workdir, cfg)
     wall = time.monotonic() - t0
-    import os
+    # corpus shape is only known to the harness that BUILT the corpus -
+    # bench.py passes it as argv[5]; a standalone run records None and
+    # speedup_vs_baseline then refuses the (incomparable) crawl ratio
+    shape = json.loads(sys.argv[5]) if len(sys.argv) > 5 else None
     out = {
         "threads": threads,
-        "corpus": {"hosts": n_hosts,
-                   "pages_per_host": int(os.environ.get(
-                       "BENCH_PAGES_PER_HOST", "6175")),
-                   "pad_paras": int(os.environ.get("BENCH_PAD_PARAS", "48"))},
+        "corpus": shape,
         "pages_fetched": state.pages_crawled,
         "rounds": state.round,
         "wall_sec": round(wall, 2),
