@@ -6,9 +6,10 @@ entry()      - flagship: BM25 top-10 over the documents table for the
 queries()    - one callable per implemented operator (SURVEY.md §2 plus the
                training-data pipeline family); each (spark, sf_dir) ->
                DataFrame.
-oracle_sql() - matching DuckDB SQL per query (omitted only for genuinely
-               non-SQL-portable ops: pandas-UDF rolling hash, stubbed media
-               decode, float-plane LSH buckets, and the crawl smoke run).
+oracle_sql() - matching DuckDB SQL per query (omitted only for the crawl
+               smoke run - the iterative BSP crawl is not one SQL query;
+               its correctness gate is the event-for-event parity pytest
+               suite against the serial oracle).
 
 The registry lives in high_performance_parallel_search_engine_spark/
 oracles.py; tools/check_correctness.py replicates the driver's compare
@@ -38,23 +39,22 @@ EVAL_QUERIES = [
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the five reference
-    evaluation queries, BM25 top-10 each, unioned."""
+    """Flagship query on /root/testdata/sf0.001: the reference evaluation
+    queries, BM25 top-10 each, ranked as ONE batch plan (rank_bm25_batch:
+    a single postings pass for all queries)."""
     from high_performance_parallel_search_engine_spark.operators import (
         index as IX,
         ranking as RK,
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    postings = IX.build_postings(docs).cache()
-    stats = IX.build_doc_stats(docs).cache()
-    out = None
-    for qtext in EVAL_QUERIES:
-        r = (RK.rank_bm25(postings, stats, qtext, top_k=10)
-             .withColumn("query", F.lit(qtext))
-             .select("query", "doc_id", F.round("score", 4).alias("score")))
-        out = r if out is None else out.unionByName(r)
-    return out
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    ranked = RK.rank_bm25_batch(postings, stats, EVAL_QUERIES, top_k=10)
+    qmap = F.create_map(*[x for qid, t in enumerate(EVAL_QUERIES)
+                          for x in (F.lit(qid), F.lit(t))])
+    return ranked.select(qmap[F.col("query_id")].alias("query"), "doc_id",
+                         F.round("score", 4).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
