@@ -94,3 +94,37 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     example; this Column form is the shuffle-friendly default."""
     return docs.select(F.col(id_col).alias("doc_id"),
                        phash_col(F.col(text_col)).alias("fp64"))
+
+
+def char_similarity_col(a, b):
+    """R6 extra: gpu_text_similarity_kernel (Super Hybrid Version/src/
+    cuda_kernels.cu:236-263) - positional char matches over the shorter
+    string, sim = 2*matches / (len1+len2), 0 when both empty. The CUDA demo
+    computes in float32; our contract is the double value rounded to 6
+    (portable across engines)."""
+    la, lb = F.length(a), F.length(b)
+    mn = F.least(la, lb)
+    matches = F.aggregate(
+        F.sequence(F.lit(1), mn),
+        F.lit(0).cast("long"),
+        lambda s, i: s + F.when(a.substr(i, F.lit(1)) == b.substr(i, F.lit(1)),
+                                1).otherwise(0))
+    matches = F.when(mn > 0, matches).otherwise(F.lit(0))  # sequence(1,0) descends
+    total = la + lb
+    return F.when(total > 0,
+                  F.round(2.0 * matches / total, 6)).otherwise(F.lit(0.0))
+
+
+def string_match_positions_col(haystack, needle):
+    """R6 extra: gpu_string_matching_kernel (cuda_kernels.cu:292-311) -
+    1-based positions where `needle` matches inside `haystack` (every
+    candidate position tested independently, the kernel's thread-per-pos
+    shape as one array expression)."""
+    lh, ln = F.length(haystack), F.length(needle)
+    span = lh - ln + 1
+    pos = F.when(
+        span > 0,
+        F.filter(F.sequence(F.lit(1), span),
+                 lambda i: haystack.substr(i, ln) == needle)
+    ).otherwise(F.array().cast("array<int>"))
+    return pos

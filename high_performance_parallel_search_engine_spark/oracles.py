@@ -1079,6 +1079,58 @@ def q_ivf_topk(spark, sf_dir):
                         nprobe=4)
 
 
+# R6 extras: the Super Hybrid CUDA demo kernels as column expressions.
+# char similarity pairs consecutive docs (lead window) on 64-char prefixes
+# (the kernel's MAX_DOCUMENT_LENGTH framing).
+@q("char_similarity", """
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 64) AS a,
+         lead(substr(text, 1, 64)) OVER (ORDER BY doc_id) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(a) + length(b) > 0 THEN
+         round(2.0 * (CASE WHEN least(length(a), length(b)) > 0 THEN
+            list_sum(list_transform(
+              generate_series(1, least(length(a), length(b))),
+              i -> CASE WHEN substr(a, i, 1) = substr(b, i, 1)
+                        THEN 1 ELSE 0 END))
+            ELSE 0 END) / (length(a) + length(b)), 6)
+       ELSE 0.0 END AS sim
+FROM p WHERE b IS NOT NULL""")
+def q_char_similarity(spark, sf_dir):
+    from .operators.textstats import char_similarity_col
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    p = (docs.select("doc_id", F.substring("text", 1, 64).alias("a"))
+         .withColumn("b", F.lead("a").over(w))
+         .where(F.col("b").isNotNull()))
+    return p.select("doc_id",
+                    char_similarity_col(F.col("a"), F.col("b")).alias("sim"))
+
+
+@q("string_match", """
+SELECT doc_id,
+       CAST(len(pos) AS INT) AS n_matches,
+       CAST(pos[1] AS INT) AS first_pos
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(text) - 4 + 1 > 0 THEN
+           list_filter(generate_series(1, length(text) - 3),
+                       i -> substr(text, i, 4) = 'join')
+         ELSE [] END AS pos
+  FROM documents)""")
+def q_string_match(spark, sf_dir):
+    from .operators.textstats import string_match_positions_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = string_match_positions_col(F.col("text"), F.lit("join"))
+    return docs.select(
+        "doc_id", F.size(pos).alias("n_matches"),
+        F.get(pos, 0).cast("int").alias("first_pos"))  # null when no match
+
+
 # --- text analysis ------------------------------------------------------------
 
 _LANG_SCORES_SQL = ",\n       ".join(
