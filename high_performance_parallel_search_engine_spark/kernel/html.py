@@ -70,6 +70,20 @@ def _starts_with(hl: bytes, i: int, prefix: bytes) -> bool:
     return hl.startswith(prefix, i)
 
 
+# byte-class table for is_useful_content: alpha -> 'a', C-isspace -> 's',
+# everything else -> 'x'; translate+count turns the per-byte Python loop
+# into two C-speed passes (it was 36% of extraction time on medium-path
+# pages, called once per paragraph)
+_USEFUL_CLASS = bytes(
+    (ord("a") if (65 <= c <= 90 or 97 <= c <= 122)
+     else ord("s") if c in b" \t\n\v\f\r" else ord("x"))
+    for c in range(256))
+_A = ord("a")
+_S = ord("s")
+
+import numpy as _np  # noqa: E402  (float32 quirk reproduction)
+
+
 def is_useful_content(text: bytes, length: int) -> bool:
     """crawler.c:110-131. Counts over the first 200 bytes, ratios over the
     FULL length (quirk). ASCII classification (C locale). The ratios are
@@ -79,18 +93,11 @@ def is_useful_content(text: bytes, length: int) -> bool:
     """
     if length < 10:
         return False
-    alpha = 0
-    space = 0
-    for i in range(min(length, 200)):
-        c = text[i]
-        if (65 <= c <= 90) or (97 <= c <= 122):
-            alpha += 1
-        elif c in _WS:
-            space += 1
-    import numpy as np
-
-    alpha_ratio = np.float32(alpha) / np.float32(length)
-    space_ratio = np.float32(space) / np.float32(length)
+    head = bytes(text[:min(length, 200)]).translate(_USEFUL_CLASS)
+    alpha = head.count(_A)
+    space = head.count(_S)
+    alpha_ratio = _np.float32(alpha) / _np.float32(length)
+    space_ratio = _np.float32(space) / _np.float32(length)
     return bool(alpha_ratio > 0.4) and bool(space_ratio > 0.05) \
         and bool(space_ratio < 0.3)
 
@@ -250,37 +257,37 @@ def html_to_text(html: bytes) -> bytes:
         # pattern starts with '<', so the whole chain is gated on it
         if c != 0x3C:
             pass
-        elif not in_tag and i + 6 < html_len and _starts_with(hl, i, b"<head>"):
+        elif not in_tag and i + 6 < html_len and hl.startswith(b"<head>", i):
             in_head = True
             in_tag = True
             i += 1
             continue
-        elif in_head and i + 7 < html_len and _starts_with(hl, i, b"</head>"):
+        elif in_head and i + 7 < html_len and hl.startswith(b"</head>", i):
             in_head = False
             in_tag = True
             i += 7
             continue
-        elif not in_tag and i + 8 < html_len and _starts_with(hl, i, b"<script"):
+        elif not in_tag and i + 8 < html_len and hl.startswith(b"<script", i):
             in_script = True
             in_tag = True
             # falls through (no continue in C either)
-        elif not in_tag and i + 7 < html_len and _starts_with(hl, i, b"<style"):
+        elif not in_tag and i + 7 < html_len and hl.startswith(b"<style", i):
             in_style = True
             in_tag = True
-        elif in_script and i + 9 < html_len and _starts_with(hl, i, b"</script>"):
+        elif in_script and i + 9 < html_len and hl.startswith(b"</script>", i):
             in_script = False
             i += 9
             continue
-        elif in_style and i + 8 < html_len and _starts_with(hl, i, b"</style>"):
+        elif in_style and i + 8 < html_len and hl.startswith(b"</style>", i):
             in_style = False
             i += 8
             continue
-        elif not in_tag and i + 7 < html_len and _starts_with(hl, i, b"<title>"):
+        elif not in_tag and i + 7 < html_len and hl.startswith(b"<title>", i):
             in_title = True
             buf.clear()
             i += 7
             continue
-        elif in_title and i + 8 < html_len and _starts_with(hl, i, b"</title>"):
+        elif in_title and i + 8 < html_len and hl.startswith(b"</title>", i):
             in_title = False
             i += 8
             if buf:
@@ -289,38 +296,38 @@ def html_to_text(html: bytes) -> bytes:
             continue
         elif not in_tag and loop_medium:
             # medium h1/h2/p handling (crawler.c:243-303)
-            if i + 3 < html_len and _starts_with(hl, i, b"<h1"):
+            if i + 3 < html_len and hl.startswith(b"<h1", i):
                 in_heading = True
                 buf.clear()
                 in_tag = True
                 i += 3
                 continue
-            elif in_heading and i + 5 < html_len and _starts_with(hl, i, b"</h1>"):
+            elif in_heading and i + 5 < html_len and hl.startswith(b"</h1>", i):
                 in_heading = False
                 i += 5
                 if buf:
                     emit(b"\n\n# " + bytes(buf) + b"\n\n")
                 buf.clear()
                 continue
-            elif i + 3 < html_len and _starts_with(hl, i, b"<h2"):
+            elif i + 3 < html_len and hl.startswith(b"<h2", i):
                 in_heading = True
                 buf.clear()
                 in_tag = True
                 i += 3
                 continue
-            elif in_heading and i + 5 < html_len and _starts_with(hl, i, b"</h2>"):
+            elif in_heading and i + 5 < html_len and hl.startswith(b"</h2>", i):
                 in_heading = False
                 i += 5
                 if buf:
                     emit(b"\n\n## " + bytes(buf) + b"\n\n")
                 buf.clear()
                 continue
-            elif i + 3 < html_len and _starts_with(hl, i, b"<p>"):
+            elif i + 3 < html_len and hl.startswith(b"<p>", i):
                 in_paragraph = True
                 buf.clear()
                 i += 3
                 continue
-            elif in_paragraph and i + 4 < html_len and _starts_with(hl, i, b"</p>"):
+            elif in_paragraph and i + 4 < html_len and hl.startswith(b"</p>", i):
                 in_paragraph = False
                 i += 4
                 if buf:
@@ -342,8 +349,8 @@ def html_to_text(html: bytes) -> bytes:
         if c == 0x3C:
             in_tag = True
             if i + 4 < html_len and (
-                _starts_with(hl, i, b"<p>") or _starts_with(hl, i, b"<br")
-                or _starts_with(hl, i, b"<li") or _starts_with(hl, i, b"<h")
+                hl.startswith(b"<p>", i) or hl.startswith(b"<br", i)
+                or hl.startswith(b"<li", i) or hl.startswith(b"<h", i)
             ):
                 if not in_title and not in_heading and not in_paragraph:
                     out.extend(b"\n\n")  # break without content_written
