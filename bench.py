@@ -264,9 +264,10 @@ def main() -> None:
                 for _ in range(n_runs)]
         return min(runs, key=lambda r: r["wall_sec"])
 
-    print(f"phase 2: crawl at local[{CPUS}] on {CPUS} cores (best of 2)",
+    print(f"phase 2: crawl at local[{CPUS}] on {CPUS} cores (best of 3)",
           file=sys.stderr)
-    crawl_big = best_of(2, CPUS, None)
+    crawl_big = best_of(3, CPUS, None)  # the wide level swings most run to
+    # run on this VM (host co-tenancy); it is also the cheap level
     print(f"phase 3: crawl at local[{SMALL_CPUS}] pinned to "
           f"{SMALL_CPUS} cores (best of 2)", file=sys.stderr)
     crawl_small = best_of(2, SMALL_CPUS, SMALL_CPUS)
