@@ -108,3 +108,43 @@ def test_lsh_cap_anti_join_is_broadcast(spark):
     out = D.minhash_lsh_pairs(docs, max_bucket_size=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_politeness_budget_hot_host_skew(spark):
+    """SURVEY §7.2 item 11: one host holding a huge frontier share must not
+    serialize the budget window. The salted two-phase top-k keeps exactly
+    the budget's smallest seqs (correctness) while phase 1 bounds the exact
+    window's input to <= 16*budget rows per host (skew kill)."""
+    from pyspark.sql import functions as F
+
+    from high_performance_parallel_search_engine_spark.operators.politeness import (
+        apply_budget,
+    )
+
+    n_hot = 50_000
+    hot = spark.range(n_hot).select(
+        F.lit("hot.example.com").alias("host"),
+        F.concat(F.lit("https://hot.example.com/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("seq"))
+    cold = spark.range(20).select(
+        F.lit("cold.example.com").alias("host"),
+        F.concat(F.lit("https://cold.example.com/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        (F.col("id") + n_hot).alias("seq"))
+    frontier = hot.unionByName(cold).repartition(8)
+    budgets = spark.createDataFrame(
+        [("hot.example.com", 5)], "host string, max_fetches_per_round int")
+
+    out = apply_budget(frontier, budgets, default_budget=None)
+    fetched = out.where(F.col("fetch_now"))
+    hot_fetched = sorted(r["seq"] for r in
+                         fetched.where(F.col("host") == "hot.example.com")
+                         .collect())
+    assert hot_fetched == [0, 1, 2, 3, 4]     # exactly the 5 smallest seqs
+    assert fetched.where(F.col("host") == "cold.example.com").count() == 20
+    assert out.where(~F.col("fetch_now")).count() == n_hot - 5
+    # the exact (unsalted) host window never sees the hot host's full
+    # frontier: phase 1 pre-prunes to <= 16 * budget rows per host
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2  # salted phase + exact phase
