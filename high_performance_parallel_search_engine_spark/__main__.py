@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resume from the last committed round in --workdir")
     ap.add_argument("--priority", choices=["fifo", "north", "openmp"],
                     default="fifo", help="frontier scheduling mode")
+    ap.add_argument("--budget", action="append", default=[],
+                    metavar="HOST=N",
+                    help="per-host politeness budget (fetches/round); "
+                         "repeatable; use *=N for the default budget")
+    ap.add_argument("--robots-table", metavar="PARQUET",
+                    help="parquet of (host, robots_txt) bodies; parsed "
+                         "distributed into allow/disallow prefix rules")
+    ap.add_argument("--resume-from", type=int, default=None, metavar="R",
+                    help="rewind to round R's snapshot and replay from there")
     ap.add_argument("--no-clamp", action="store_true",
                     help="drop the reference's 100-page / depth-5 clamps "
                          "(scale mode)")
@@ -123,10 +132,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="hppse-crawl-")
     priority = {"fifo": False, "north": True, "openmp": "openmp"}[args.priority]
-    cfg = CrawlConfig(max_depth=depth, max_pages=max_pages, priority=priority)
+    politeness = None
+    if args.budget:
+        politeness = {}
+        for spec in args.budget:
+            host, _, n = spec.partition("=")
+            politeness[host] = int(n)
+    robots = None
+    if args.robots_table:
+        from .operators.robots import robots_rules_from_df
+
+        robots = [(r["host"], r["rule"], r["path_prefix"]) for r in
+                  robots_rules_from_df(
+                      spark.read.parquet(args.robots_table)).collect()]
+    cfg = CrawlConfig(max_depth=depth, max_pages=max_pages,
+                      priority=priority, politeness=politeness,
+                      robots=robots)
     t0 = time.perf_counter()
     state = run_crawl(spark, pages, [start_url], workdir, cfg,
-                      resume=args.resume)
+                      resume=args.resume, resume_from=args.resume_from)
     wall = time.perf_counter() - t0
     if state.pages_crawled > 0:
         print(f"Successfully crawled {state.pages_crawled} pages "

@@ -61,3 +61,23 @@ def test_submit_zip_importable(tmp_path):
                        text=True, cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert "a.com" in r.stdout.lower()
+
+
+def test_cli_budget_and_robots_flags(spark, tmp_path, capsys):
+    """--budget and --robots-table drive politeness/robots through the CLI."""
+    # deny a LEAF path: a too-central path would prune the tree and
+    # keep the frontier under budget (no deferrals to assert on)
+    robots = spark.createDataFrame(
+        [("host0.example.com", "User-agent: *\nDisallow: /p/2\n")],
+        "host string, robots_txt string")
+    rpath = str(tmp_path / "robots")
+    robots.write.parquet(rpath)
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "3", "-p", "40",
+               "--budget", "host0.example.com=4", "--budget", "*=100",
+               "--robots-table", rpath, "--workdir", str(tmp_path / "w")])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Successfully crawled" in out
+    ev = spark.read.parquet(str(tmp_path / "w") + "/round=*/events.parquet")
+    acts = {r["action"] for r in ev.select("action").distinct().collect()}
+    assert "robots_denied" in acts   # /p/1 blocked
+    assert "deferred" in acts        # budget 4/round binds
