@@ -63,3 +63,49 @@ def host_budget_tracker(pages_stream: DataFrame,
     return per_host.groupBy("host").applyInPandasWithState(
         track, outputStructType=OUTPUT_SCHEMA, stateStructType=STATE_SCHEMA,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+SEEN_OUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+])
+
+SEEN_STATE_SCHEMA = StructType([
+    StructField("seen_hashes", StringType()),  # csv of xxhash64 hex values
+])
+
+
+def url_seen_tracker(urls_stream: DataFrame,
+                     n_shards: int = 64) -> DataFrame:
+    """Streaming URL-seen dedup with state ACROSS micro-batches: the
+    first occurrence of each url (ever) passes, repeats are dropped - the
+    streaming analog of the batch anti-join (crawler.c:447-484 semantics).
+
+    GroupState is keyed by xxhash64(url) % n_shards, so the seen-set shards
+    across the cluster instead of one giant state blob; each group's state
+    is its shard of 8-byte url hashes. The batch path stays authoritative
+    for exact parity runs; this operator serves the continuous-ingest
+    formulation (frontier_stream.py). At 10^10 urls, raise n_shards so each
+    shard's state stays executor-memory-sized - state size is the same
+    8 bytes/url either way, just sliced finer."""
+
+    def track(key: Tuple[int], batches: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        (csv,) = state.get if state.exists else ("",)
+        seen = set(csv.split(",")) if csv else set()
+        fresh = []
+        for pdf in batches:
+            for url, h in zip(pdf["url"], pdf["_h"]):
+                hx = format(h & 0xFFFFFFFFFFFFFFFF, "x")
+                if hx not in seen:
+                    seen.add(hx)
+                    fresh.append(url)
+        state.update((",".join(sorted(seen)),))
+        yield pd.DataFrame({"url": fresh})
+
+    keyed = urls_stream.select(
+        "url", F.xxhash64("url").alias("_h"),
+        F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int").alias("_shard"))
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        track, outputStructType=SEEN_OUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -72,3 +72,30 @@ def test_resize_and_frame_sample(spark):
         assert sorted(idxs) == list(range(len(idxs)))
     with pytest.raises(NotImplementedError):
         _resize_stub(b"x", 2, 2, fake=False)
+
+
+def test_stateful_url_seen_tracker_dedups_across_batches(spark, tmp_path):
+    """First occurrence ever passes; repeats (within AND across
+    micro-batches) are dropped."""
+    from high_performance_parallel_search_engine_spark.streaming.stateful import (
+        url_seen_tracker,
+    )
+
+    src = str(tmp_path / "urls")
+    b1 = [(f"https://h.com/p/{i}",) for i in range(10)]
+    b2 = [(f"https://h.com/p/{i}",) for i in range(5, 15)]  # 5 repeats
+    b2 += [("https://h.com/p/3",)]                          # another repeat
+    spark.createDataFrame(b1, "url string").write.parquet(src + "/u")
+    spark.createDataFrame(b2, "url string").write.mode("append") \
+        .parquet(src + "/u")
+    stream = (spark.readStream.schema("url string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/u"))
+    out = url_seen_tracker(stream, n_shards=8)
+    q = (out.writeStream.format("memory").queryName("seen_track")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck_seen"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = [r["url"] for r in spark.sql("select url from seen_track").collect()]
+    assert sorted(got) == sorted(f"https://h.com/p/{i}" for i in range(15))
+    assert len(got) == len(set(got))  # no url emitted twice
