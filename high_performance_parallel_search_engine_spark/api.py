@@ -1,0 +1,177 @@
+"""S8: the dashboard API contract (WebSite/api.py routes :350-520),
+re-expressed over the Spark engine. The reference Flask app shells out to
+the C binaries; this serves the same JSON surface from an in-process
+SparkSession over a crawl workdir - stdlib http.server, zero extra deps.
+
+Routes (reference analog in parens):
+
+  GET  /api/status                      (api.py:358 - engine + index state)
+  POST /api/search  {query, limit?}     (api.py:372 - BM25 top-k + timing)
+  GET  /api/metrics                     (api.py:414 - per-round crawl
+                                         metrics.json list)
+  POST /api/crawl   {start_url, depth?, max_pages?}
+                                        (api.py:428 /api/build analog:
+                                         launches a crawl into the workdir)
+
+Launch: `python tools/serve_api.py --workdir D [--pages-table P] [--port N]`
+or programmatically via make_server(...).serve_forever().
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import urlparse
+
+
+class EngineState:
+    """Lazily builds and caches the query index over the workdir's crawled
+    pages; a crawl through /api/crawl invalidates it."""
+
+    def __init__(self, spark, workdir: str, pages_df=None):
+        self.spark = spark
+        self.workdir = workdir
+        self.pages_df = pages_df
+        self._lock = threading.Lock()
+        self._index = None
+
+    def _build_index(self):
+        from pyspark.sql import functions as F
+
+        from .operators.index import build_doc_stats, build_postings
+
+        docs = (self.spark.read
+                .parquet(f"{self.workdir}/round=*/pages.parquet")
+                .select(F.col("seq").alias("doc_id"), "url", "text"))
+        postings = build_postings(docs).cache()
+        stats = build_doc_stats(docs).cache()
+        total = stats.count()
+        avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
+                  if total else 0.0)
+        postings.count()
+        urls = {r["doc_id"]: r["url"]
+                for r in docs.select("doc_id", "url").collect()}
+        return {"postings": postings, "stats": stats, "total": total,
+                "avg_dl": avg_dl, "urls": urls}
+
+    def index(self):
+        with self._lock:
+            if self._index is None:
+                self._index = self._build_index()
+            return self._index
+
+    def invalidate(self):
+        with self._lock:
+            if self._index is not None:
+                self._index["postings"].unpersist()
+                self._index["stats"].unpersist()
+            self._index = None
+
+    # ---- endpoint logic -----------------------------------------------
+
+    def status(self) -> dict:
+        rounds = sorted(p.name for p in Path(self.workdir).glob("round=*")
+                        if (p / "manifest.json").exists()
+                        and not p.name.startswith("round=-"))  # skip seed init
+        return {"status": "ok", "api_version": "1.0",
+                "workdir": self.workdir, "committed_rounds": len(rounds)}
+
+    def search(self, query: str, limit: int = 10) -> dict:
+        from .operators.ranking import rank_bm25
+
+        ix = self.index()
+        t0 = time.perf_counter()
+        rows = rank_bm25(ix["postings"], ix["stats"], query,
+                         total_docs=ix["total"], avg_dl=ix["avg_dl"],
+                         top_k=limit, fallback=True).collect()
+        ms = (time.perf_counter() - t0) * 1000
+        return {"status": "ok", "query": query,
+                "query_time_ms": round(ms, 2),
+                "results": [{"doc_id": r["doc_id"],
+                             "url": ix["urls"].get(r["doc_id"]),
+                             "score": round(r["score"], 4)} for r in rows]}
+
+    def metrics(self) -> dict:
+        out = []
+        for p in sorted(Path(self.workdir).glob("round=*/metrics.json")):
+            out.append(json.loads(p.read_text()))
+        return {"status": "ok", "rounds": out}
+
+    def crawl(self, start_url: str, depth: int = 2,
+              max_pages: int = 10) -> dict:
+        from .operators.crawl import CrawlConfig, run_crawl
+        from .sources.synth import build_corpus_df
+
+        pages = self.pages_df
+        if pages is None:
+            pages = build_corpus_df(self.spark) \
+                .select("url", "warc_ts", "html", "lang")
+        state = run_crawl(self.spark, pages, [start_url], self.workdir,
+                          CrawlConfig(max_depth=depth, max_pages=max_pages))
+        self.invalidate()
+        return {"status": "ok", "pages_crawled": state.pages_crawled,
+                "rounds": state.round,
+                "stopped": state.stopped or "frontier_empty"}
+
+
+def make_server(spark, workdir: str, pages_df=None,
+                port: int = 0) -> ThreadingHTTPServer:
+    engine = EngineState(spark, workdir, pages_df)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            try:
+                if path == "/api/status":
+                    self._json(engine.status())
+                elif path == "/api/metrics":
+                    self._json(engine.metrics())
+                else:
+                    self._json({"status": "error",
+                                "error": "not found"}, 404)
+            except Exception as e:  # mirror api.py's 500 envelope
+                self._json({"status": "error", "error": str(e)}, 500)
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                data = json.loads(self.rfile.read(n) or b"{}")
+                if path == "/api/search":
+                    if "query" not in data:
+                        self._json({"status": "error",
+                                    "error": "Missing required field: "
+                                             "query"}, 400)
+                        return
+                    self._json(engine.search(
+                        data["query"], int(data.get("limit", 10))))
+                elif path == "/api/crawl":
+                    if "start_url" not in data:
+                        self._json({"status": "error",
+                                    "error": "Missing required field: "
+                                             "start_url"}, 400)
+                        return
+                    self._json(engine.crawl(
+                        data["start_url"], int(data.get("depth", 2)),
+                        int(data.get("max_pages", 10))))
+                else:
+                    self._json({"status": "error",
+                                "error": "not found"}, 404)
+            except Exception as e:
+                self._json({"status": "error", "error": str(e)}, 500)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
