@@ -69,7 +69,33 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-clamp", action="store_true",
                     help="drop the reference's 100-page / depth-5 clamps "
                          "(scale mode)")
+    ap.add_argument("-i", "--interactive", action="store_true",
+                    help="after the crawl, loop a query prompt over the "
+                         "warm index (the reference's interactive mode, "
+                         "main.c:172-184); EOF or 'exit' quits")
+    ap.add_argument("--save-baseline", metavar="CSV",
+                    help="save this run's phase timings as the baseline "
+                         "metrics CSV (benchmark.c save_as_baseline)")
+    ap.add_argument("--compare-baseline", metavar="CSV",
+                    help="load a baseline metrics CSV and print per-phase "
+                         "speedup vs it (benchmark.c calculate_speedup)")
     return ap
+
+
+# flags whose values are overridden by the persisted manifest config on
+# --resume/--resume-from (run_crawl reloads cfg from the manifest)
+_RESUME_IGNORED = [("depth", 2, "-d"), ("max_pages", 10, "-p"),
+                   ("priority", "fifo", "--priority"), ("budget", [], "--budget"),
+                   ("robots_table", None, "--robots-table")]
+
+
+def _warn_resume_overrides(args) -> None:
+    if not (args.resume or args.resume_from is not None):
+        return
+    for attr, default, flag in _RESUME_IGNORED:
+        if getattr(args, attr) != default:
+            print(f"Warning: {flag} is ignored with --resume/--resume-from "
+                  "(the persisted manifest config wins)")
 
 
 def _clamped_limits(args) -> tuple[int, int]:
@@ -100,6 +126,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from pyspark.sql import functions as F
 
+    from .baseline import load_baseline, save_baseline, speedup_report
     from .operators.crawl import CrawlConfig, run_crawl
     from .operators.index import build_doc_stats, build_postings
     from .operators.ranking import rank_bm25
@@ -148,6 +175,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     cfg = CrawlConfig(max_depth=depth, max_pages=max_pages,
                       priority=priority, politeness=politeness,
                       robots=robots)
+    _warn_resume_overrides(args)
     t0 = time.perf_counter()
     state = run_crawl(spark, pages, [start_url], workdir, cfg,
                       resume=args.resume, resume_from=args.resume_from)
@@ -162,24 +190,64 @@ def main(argv: list[str] | None = None, spark=None) -> int:
           f"(rounds={state.round}, wall={wall:.2f}s, "
           f"stop={state.stopped or 'frontier_empty'})")
 
-    if args.query:
+    phase_ms = {"CrawlingTime_ms": wall * 1000}
+    last_query_ms = 0.0
+    if args.query or args.interactive or args.save_baseline:
         docs = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
-        postings = build_postings(docs)
-        stats = build_doc_stats(docs)
         t1 = time.perf_counter()
-        top = rank_bm25(postings, stats, args.query, top_k=10,
-                        fallback=True).collect()
-        ms = (time.perf_counter() - t1) * 1000
-        by_id = {r["doc_id"]: r["url"]
-                 for r in docs.where(F.col("doc_id").isin(
-                     [r["doc_id"] for r in top] or [-1])).collect()}
-        print(f"Query processed in {ms:.2f} ms")
-        for rank, r in enumerate(top, 1):
-            print(f"{rank:2d}. doc {r['doc_id']} "
-                  f"score={r['score']:.4f} {by_id.get(r['doc_id'], '')}")
-        if not top:
-            print("No results.")
+        postings = build_postings(docs).cache()
+        stats = build_doc_stats(docs).cache()
+        total = stats.count()
+        avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
+                  if total else 0.0)
+        postings.count()  # warm the cached index once; queries reuse it
+        phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
+        print(f"Indexed {total} documents.")
+
+        def run_query(q: str) -> float:
+            t2 = time.perf_counter()
+            top = rank_bm25(postings, stats, q, total_docs=total,
+                            avg_dl=avg_dl, top_k=10, fallback=True).collect()
+            ms = (time.perf_counter() - t2) * 1000
+            by_id = {r["doc_id"]: r["url"]
+                     for r in docs.where(F.col("doc_id").isin(
+                         [r["doc_id"] for r in top] or [-1]))
+                     .select("doc_id", "url").collect()}
+            print(f"Query processed in {ms:.2f} ms")
+            for rank, r in enumerate(top, 1):
+                print(f"{rank:2d}. doc {r['doc_id']} "
+                      f"score={r['score']:.4f} {by_id.get(r['doc_id'], '')}")
+            if not top:
+                print("No results.")
+            return ms
+
+        if args.query:
+            print(f"\nSearching for: {args.query}")
+            last_query_ms = run_query(args.query)
+        if args.interactive:
+            # main.c:172-184: prompt loop over the warm in-memory index
+            print("Search engine ready for queries.")
+            while True:
+                try:
+                    q = input("Enter your search query: ").strip()
+                except EOFError:
+                    break
+                if not q or q.lower() in ("exit", "quit"):
+                    break
+                print(f"\nSearching for: {q}")
+                last_query_ms = run_query(q)
+    if last_query_ms:
+        phase_ms["QueryProcessingTime_ms"] = last_query_ms
+    phase_ms["TotalExecutionTime_ms"] = (time.perf_counter() - t0) * 1000
+
+    if args.compare_baseline:
+        base = load_baseline(args.compare_baseline)
+        for line in speedup_report(base, phase_ms):
+            print(line)
+    if args.save_baseline:
+        save_baseline(args.save_baseline, phase_ms)
+        print(f"Metrics saved to {args.save_baseline}")
     return 0
 
 

@@ -11,7 +11,16 @@ Routes (reference analog in parens):
                                          metrics.json list)
   POST /api/crawl   {start_url, depth?, max_pages?}
                                         (api.py:428 /api/build analog:
-                                         launches a crawl into the workdir)
+                                         launches a crawl into the workdir;
+                                         409 when a build is in progress)
+  POST /api/compare {query, versions?, limit?}
+                                        (api.py:468 - same query through
+                                         multiple engine versions, results +
+                                         timings side by side; here the
+                                         versions are the ranking paths:
+                                         'serial' = exact-term BM25,
+                                         'openmp' = the OpenMP
+                                         plural/singular-retry variant)
 
 Launch: `python tools/serve_api.py --workdir D [--pages-table P] [--port N]`
 or programmatically via make_server(...).serve_forever().
@@ -26,16 +35,29 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import urlparse
 
+# The reference's VERSIONS list names compiled engine variants
+# (WebSite/api.py:31); this engine has one executable but two ranking
+# semantics - the serial exact-term scorer and the OpenMP retry scorer
+# (OpenMP Version/src/ranking.c:110-150) - which is what compare diffs.
+COMPARE_VERSIONS = {"serial": False, "openmp": True}
+
 
 class EngineState:
     """Lazily builds and caches the query index over the workdir's crawled
-    pages; a crawl through /api/crawl invalidates it."""
+    pages; a crawl through /api/crawl invalidates it.
+
+    Locking: `_lock` guards the cached index for the FULL duration of every
+    search (so a concurrent crawl's invalidate() can never unpersist a
+    postings DataFrame mid-collect); `_crawl_lock` serializes /api/crawl -
+    a second build while one is running answers 409 busy instead of racing
+    two run_crawl loops into the same workdir."""
 
     def __init__(self, spark, workdir: str, pages_df=None):
         self.spark = spark
         self.workdir = workdir
         self.pages_df = pages_df
         self._lock = threading.Lock()
+        self._crawl_lock = threading.Lock()
         self._index = None
 
     def _build_index(self):
@@ -52,22 +74,25 @@ class EngineState:
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)
         postings.count()
-        urls = {r["doc_id"]: r["url"]
-                for r in docs.select("doc_id", "url").collect()}
+        # urls stay a DataFrame: resolving a top-k result joins k rows
+        # against it (broadcast on the k side), so nothing doc-count-sized
+        # ever crosses to the driver - a 10^9-doc corpus serves the same way
+        urls = docs.select("doc_id", "url").cache()
+        urls.count()
         return {"postings": postings, "stats": stats, "total": total,
                 "avg_dl": avg_dl, "urls": urls}
 
-    def index(self):
-        with self._lock:
-            if self._index is None:
-                self._index = self._build_index()
-            return self._index
+    def _index_locked(self):
+        if self._index is None:
+            self._index = self._build_index()
+        return self._index
 
     def invalidate(self):
         with self._lock:
             if self._index is not None:
                 self._index["postings"].unpersist()
                 self._index["stats"].unpersist()
+                self._index["urls"].unpersist()
             self._index = None
 
     # ---- endpoint logic -----------------------------------------------
@@ -77,22 +102,60 @@ class EngineState:
                         if (p / "manifest.json").exists()
                         and not p.name.startswith("round=-"))  # skip seed init
         return {"status": "ok", "api_version": "1.0",
-                "workdir": self.workdir, "committed_rounds": len(rounds)}
+                "workdir": self.workdir, "committed_rounds": len(rounds),
+                "building": self._crawl_lock.locked()}
 
-    def search(self, query: str, limit: int = 10) -> dict:
+    def _search_locked(self, query: str, limit: int,
+                       fallback: bool) -> dict:
+        from pyspark.sql import functions as F
+
         from .operators.ranking import rank_bm25
 
-        ix = self.index()
+        ix = self._index_locked()
         t0 = time.perf_counter()
-        rows = rank_bm25(ix["postings"], ix["stats"], query,
+        hits = rank_bm25(ix["postings"], ix["stats"], query,
                          total_docs=ix["total"], avg_dl=ix["avg_dl"],
-                         top_k=limit, fallback=True).collect()
+                         top_k=limit, fallback=fallback)
+        # k rows broadcast into the urls table - never a driver-side url map
+        rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
+                .select("doc_id", "url", "score").collect())
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         ms = (time.perf_counter() - t0) * 1000
         return {"status": "ok", "query": query,
                 "query_time_ms": round(ms, 2),
-                "results": [{"doc_id": r["doc_id"],
-                             "url": ix["urls"].get(r["doc_id"]),
+                "results": [{"doc_id": r["doc_id"], "url": r["url"],
                              "score": round(r["score"], 4)} for r in rows]}
+
+    def search(self, query: str, limit: int = 10) -> dict:
+        with self._lock:
+            return self._search_locked(query, limit, fallback=True)
+
+    def compare(self, query: str, versions: list[str],
+                limit: int = 10) -> dict:
+        """WebSite/api.py:468 analog: one query through each named version,
+        results + timings side by side plus a diff envelope."""
+        bad = [v for v in versions if v.lower() not in COMPARE_VERSIONS]
+        if bad:
+            return {"status": "error", "_code": 400,
+                    "error": f"Invalid version: {bad[0]}. Must be one of: "
+                             f"{', '.join(sorted(COMPARE_VERSIONS))}"}
+        results = {}
+        with self._lock:
+            for v in versions:
+                results[v] = self._search_locked(
+                    query, limit, fallback=COMPARE_VERSIONS[v.lower()])
+        diff = {}
+        if len(versions) >= 2:
+            a, b = versions[0], versions[1]
+            diff = {
+                "query_time_ms_delta": round(
+                    results[b]["query_time_ms"]
+                    - results[a]["query_time_ms"], 2),
+                "results_equal": [r["doc_id"] for r in results[a]["results"]]
+                == [r["doc_id"] for r in results[b]["results"]],
+            }
+        return {"status": "ok", "query": query, "results": results,
+                "diff": diff}
 
     def metrics(self) -> dict:
         out = []
@@ -105,16 +168,23 @@ class EngineState:
         from .operators.crawl import CrawlConfig, run_crawl
         from .sources.synth import build_corpus_df
 
-        pages = self.pages_df
-        if pages is None:
-            pages = build_corpus_df(self.spark) \
-                .select("url", "warc_ts", "html", "lang")
-        state = run_crawl(self.spark, pages, [start_url], self.workdir,
-                          CrawlConfig(max_depth=depth, max_pages=max_pages))
-        self.invalidate()
-        return {"status": "ok", "pages_crawled": state.pages_crawled,
-                "rounds": state.round,
-                "stopped": state.stopped or "frontier_empty"}
+        if not self._crawl_lock.acquire(blocking=False):
+            return {"status": "error", "_code": 409,
+                    "error": "a crawl is already in progress"}
+        try:
+            pages = self.pages_df
+            if pages is None:
+                pages = build_corpus_df(self.spark) \
+                    .select("url", "warc_ts", "html", "lang")
+            state = run_crawl(self.spark, pages, [start_url], self.workdir,
+                              CrawlConfig(max_depth=depth,
+                                          max_pages=max_pages))
+            self.invalidate()
+            return {"status": "ok", "pages_crawled": state.pages_crawled,
+                    "rounds": state.round,
+                    "stopped": state.stopped or "frontier_empty"}
+        finally:
+            self._crawl_lock.release()
 
 
 def make_server(spark, workdir: str, pages_df=None,
@@ -126,6 +196,7 @@ def make_server(spark, workdir: str, pages_df=None,
             pass
 
         def _json(self, obj, code=200):
+            code = obj.pop("_code", code) if isinstance(obj, dict) else code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -159,6 +230,16 @@ def make_server(spark, workdir: str, pages_df=None,
                         return
                     self._json(engine.search(
                         data["query"], int(data.get("limit", 10))))
+                elif path == "/api/compare":
+                    if "query" not in data:
+                        self._json({"status": "error",
+                                    "error": "Missing required fields: "
+                                             "query and versions"}, 400)
+                        return
+                    self._json(engine.compare(
+                        data["query"],
+                        data.get("versions") or ["serial", "openmp"],
+                        int(data.get("limit", 10))))
                 elif path == "/api/crawl":
                     if "start_url" not in data:
                         self._json({"status": "error",

@@ -732,6 +732,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
         if state.stopped:
             return state
     else:
+        # Fresh (non-resume) crawl into a reused workdir: drop every prior
+        # round snapshot first. Leaving them would mix the previous crawl's
+        # later rounds into the round=*/pages.parquet glob that /api/status,
+        # /api/metrics and index builds read (colliding seq-based doc_ids),
+        # and a stale _compacted_upto marker would block legitimate rewinds.
+        for d in sorted(Path(workdir).glob("round=*")):
+            _sh.rmtree(d, ignore_errors=True)
+        (Path(workdir) / "_compacted_upto").unlink(missing_ok=True)
         state = init_crawl(spark, seeds, workdir, config)
     while state.round < config.max_rounds and not state.stopped:
         if state.next_frontier_rows == 0:

@@ -63,6 +63,65 @@ def test_submit_zip_importable(tmp_path):
     assert "a.com" in r.stdout.lower()
 
 
+def test_cli_interactive_prompt_two_queries(spark, tmp_path, capsys,
+                                            monkeypatch):
+    """main.c:172-184 analog: the interactive prompt loops queries over ONE
+    warm cached index within a single session."""
+    import io
+
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("crawl indexes bm25\nspark engine\n"))
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "2", "-p", "15",
+               "-i", "--workdir", str(tmp_path / "w")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Search engine ready for queries." in out
+    assert out.count("Searching for:") == 2
+    assert out.count("Query processed in") == 2
+
+
+def test_cli_baseline_save_and_compare(spark, tmp_path, capsys):
+    """benchmark.c:10-141 analog: --save-baseline persists a Metric,Value
+    CSV; --compare-baseline prints per-phase speedup vs it."""
+    base = str(tmp_path / "baseline_metrics.csv")
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "2", "-p", "10",
+               "-q", "crawl", "--workdir", str(tmp_path / "w1"),
+               "--save-baseline", base])
+    out = capsys.readouterr().out
+    assert rc == 0 and f"Metrics saved to {base}" in out
+    text = open(base).read()
+    assert text.startswith("Metric,Value\n")
+    assert "CrawlingTime_ms," in text and "QueryProcessingTime_ms," in text
+
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "2", "-p", "10",
+               "-q", "crawl", "--workdir", str(tmp_path / "w2"),
+               "--compare-baseline", base])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PERFORMANCE SPEEDUP METRICS" in out
+    assert "Speedup:" in out and "Crawling:" in out
+
+    # missing baseline file -> benchmark.c's warning + defaults, not a crash
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "1", "-p", "5",
+               "--workdir", str(tmp_path / "w3"),
+               "--compare-baseline", str(tmp_path / "nope.csv")])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Warning: Could not open baseline metrics file" in out
+
+
+def test_cli_resume_warns_on_ignored_flags(spark, tmp_path, capsys):
+    wd = str(tmp_path / "w")
+    assert main(["-c", "https://host0.example.com/p/0", "-d", "2", "-p", "10",
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "4", "-p", "50",
+               "--resume", "--workdir", wd])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Warning: -d is ignored with --resume" in out
+    assert "Warning: -p is ignored with --resume" in out
+
+
 def test_cli_budget_and_robots_flags(spark, tmp_path, capsys):
     """--budget and --robots-table drive politeness/robots through the CLI."""
     # deny a LEAF path: a too-central path would prune the tree and

@@ -99,3 +99,25 @@ def test_stateful_url_seen_tracker_dedups_across_batches(spark, tmp_path):
     got = [r["url"] for r in spark.sql("select url from seen_track").collect()]
     assert sorted(got) == sorted(f"https://h.com/p/{i}" for i in range(15))
     assert len(got) == len(set(got))  # no url emitted twice
+
+    # state encoding: packed 16-byte records (8B shard xxhash64 + 8B
+    # independent blake2b), not csv - total state bytes == 16 * unique urls
+    state = (spark.read.format("statestore")
+             .load(str(tmp_path / "ck_seen"))
+             .select("value.groupState.seen").collect())
+    assert sum(len(bytes(r["seen"])) for r in state) == 16 * 15
+    for r in state:
+        assert len(bytes(r["seen"])) % 16 == 0
+
+
+def test_url_key_collision_resistance():
+    """Two urls sharing a shard (same pmod) still produce distinct 16-byte
+    keys: the second 8 bytes are an independent hash of the full url."""
+    from high_performance_parallel_search_engine_spark.streaming.stateful import (
+        _url_key,
+    )
+
+    k1 = _url_key("https://a.com/x", 42)
+    k2 = _url_key("https://b.com/y", 42)  # same routing hash (simulated)
+    assert len(k1) == len(k2) == 16
+    assert k1[:8] == k2[:8] and k1[8:] != k2[8:]
