@@ -15,6 +15,9 @@ pandas-UDF example (imperative per-byte loop -> Arrow batched).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import pandas as pd
@@ -61,14 +64,105 @@ def synth_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float]:
-    """THE CODEC SEAM. Real deployments plug pillow/torchaudio/pyav here.
-    `fake=True` produces a deterministic 8-dim feature from byte statistics
-    so tests can assert the full distributed pipeline shape."""
+# ---------------------------------------------------------------------------
+# REAL codec seams: uncompressed 24-bit BMP (pure struct parsing) and PCM WAV
+# (stdlib `wave`) need no external libraries, so for those two container
+# formats the decode step runs real bytes end to end. Other mimes (jpeg,
+# mp3, mp4, ...) remain stubbed behind fake=True - the documented seam where
+# production plugs pillow/torchaudio/pyav.
+# ---------------------------------------------------------------------------
+
+def make_bmp(width: int, height: int, seed: int) -> bytes:
+    """Deterministic uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
+    Data byte j (j over the width*height*3 logical pixel bytes, top-down
+    row-major) is (seed + j) % 256; rows are stored bottom-up with standard
+    4-byte padding, as the format requires."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        base = y * row_bytes
+        rows.append(bytes((seed + base + x) % 256 for x in range(row_bytes)))
+        rows.append(b"\x00" * pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Parse an uncompressed 24-bit BMP: returns (width, height, pixel_sum)
+    where pixel_sum is the sum of all pixel data bytes (padding excluded)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is decoded here (bpp={bpp}, "
+            f"compression={compression})")
+    height = abs(height)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    total = 0
+    off = data_off
+    for _y in range(height):
+        total += sum(payload[off:off + row_bytes])
+        off += row_bytes + pad
+    return width, height, total
+
+
+def make_wav(n_samples: int, seed: int, rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV via the stdlib wave module.
+    Sample k is ((seed * 17 + k * 13) % 2001) - 1000."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = struct.pack(
+            f"<{n_samples}h",
+            *(((seed * 17 + k * 13) % 2001) - 1000 for k in range(n_samples)))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Parse a PCM WAV: returns (duration_ms, n_samples, sample_sum) -
+    integer features so the DuckDB oracle compares exactly."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if width != 2 or ch != 1:
+        raise NotImplementedError("only 16-bit mono PCM is decoded here")
+    samples = struct.unpack(f"<{n}h", raw)
+    return n * 1000 // rate, n, sum(samples)
+
+
+def _decode_stub(payload: bytes, kind: str, fake: bool,
+                 mime: str = "application/octet-stream") -> list[float]:
+    """THE CODEC SEAM. BMP and WAV payloads decode for REAL (struct/wave,
+    zero deps); other mimes need codec libraries, so they take the
+    deterministic `fake=True` stand-in (or raise, documenting the seam)."""
+    if mime == "image/bmp":
+        w, h, psum = decode_bmp(payload)
+        n = max(w * h * 3, 1)
+        return [float(w), float(h), round(psum / n, 6), float(psum % 256),
+                float(len(payload)), 0.0, 0.0, 0.0]
+    if mime in ("audio/wav", "audio/x-wav"):
+        dur, n, ssum = decode_wav(payload)
+        return [float(dur), float(n), round(ssum / max(n, 1), 6),
+                float(len(payload)), 0.0, 0.0, 0.0, 0.0]
     if not fake:
         raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic stand-in")
+            f"decoding mime {mime!r} requires codec libraries not present "
+            "in this environment; pass fake=True for the deterministic "
+            "stand-in (image/bmp and audio/wav decode for real)")
     n = max(len(payload), 1)
     buckets = [0] * 8
     for i, b in enumerate(payload):
@@ -94,14 +188,91 @@ def extract_features(media: DataFrame, fake: bool = True,
                     lambda p: int(hashlib.md5(bytes(p or b""))
                                   .hexdigest()[:15], 16)),
                 "feature": [
-                    _decode_stub(bytes(p or b""), k, fake)
-                    for p, k in zip(pdf["payload"], pdf["kind"])
+                    _decode_stub(bytes(p or b""), k, fake, mime=m)
+                    for p, k, m in zip(pdf["payload"], pdf["kind"],
+                                       pdf["mime"])
                 ],
             }
             yield pd.DataFrame(out)
 
     spread = media.repartition("media_id")
     return spread.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+REAL_DECODE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("payload_sum", LongType()),
+])
+
+
+def synth_real_media_df(spark, docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table whose payloads are REAL container bytes:
+    doc_id % 3 == 0 rows carry an actual 24-bit BMP, doc_id % 3 == 1 rows an
+    actual 16-bit PCM WAV (both generated from closed-form byte formulas so
+    a SQL oracle can recompute the decoded features from doc_id alone).
+    Payload construction is a pandas UDF: container encoding is imperative
+    byte work, exactly what the Arrow batch path is for."""
+
+    @F.pandas_udf(BinaryType())
+    def build_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                out.append(make_bmp(2 + i % 7, 2 + i % 5, i % 251))
+            else:
+                out.append(make_wav(100 + i % 400, i % 97))
+        return pd.Series(out)
+
+    base = docs.select(F.col(id_col).alias("media_id")) \
+        .where(F.col("media_id") % 3 < 2)
+    return base.select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, "image").otherwise("audio")
+        .alias("kind"),
+        build_payload(F.col("media_id")).alias("payload"),
+        F.when(F.col("media_id") % 3 == 0, "image/bmp")
+        .otherwise("audio/wav").alias("mime"),
+    )
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode over real container bytes (no fake path): BMP rows yield
+    (width, height, pixel-byte sum), WAV rows (duration_ms, sample count as
+    width, sample sum) - integer features, so the DuckDB oracle recomputes
+    them exactly from the generation formulas. This is the gate that proves
+    the codec seam runs actual bytes, not the stand-in."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "width": [], "height": [],
+                    "duration_ms": [], "payload_sum": []}
+            for mid, kind, payload, mime in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["mime"]):
+                p = bytes(payload or b"")
+                if mime == "image/bmp":
+                    w, h, psum = decode_bmp(p)
+                    dur = 0
+                elif mime in ("audio/wav", "audio/x-wav"):
+                    dur, n, psum = decode_wav(p)
+                    w, h = n, 0
+                else:
+                    raise NotImplementedError(f"no real decoder for {mime}")
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(dur)
+                rows["payload_sum"].append(psum)
+            yield pd.DataFrame(rows)
+
+    return media.repartition("media_id").mapInPandas(
+        run, schema=REAL_DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType([

@@ -1250,6 +1250,33 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", "checksum")
 
 
+# REAL codec decode (no fake path): the payloads are actual 24-bit BMP /
+# 16-bit PCM WAV container bytes built from closed-form byte formulas
+# (multimodal.make_bmp/make_wav), the Spark side struct-parses them back,
+# and DuckDB recomputes the decoded features from doc_id alone - if the
+# encoder or decoder mishandled headers, padding or sample packing, the
+# sums cannot match.
+@q("media_decode_real", """
+SELECT doc_id AS media_id, 'image' AS kind,
+       2 + doc_id % 7 AS width, 2 + doc_id % 5 AS height, 0 AS duration_ms,
+       CAST(list_sum(list_transform(
+              generate_series(0, (2 + doc_id % 7) * (2 + doc_id % 5) * 3 - 1),
+              j -> ((doc_id % 251) + j) % 256)) AS BIGINT) AS payload_sum
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'audio', 100 + doc_id % 400, 0,
+       (100 + doc_id % 400) * 1000 // 8000,
+       CAST(list_sum(list_transform(
+              generate_series(0, 100 + doc_id % 400 - 1),
+              k -> (((doc_id % 97) * 17 + k * 13) % 2001) - 1000)) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 1""")
+def q_media_decode_real(spark, sf_dir):
+    from .operators.multimodal import decode_media_features, synth_real_media_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_features(synth_real_media_df(spark, docs))
+
+
 # F9 extract_title (crawler.c:749-797): html synthesized deterministically
 # from the documents table covers the kernel's gates - missing <title>,
 # empty title, unclosed </title>, '<title' with no '>', and the
