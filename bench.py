@@ -59,10 +59,30 @@ def build_session(master_threads: int):
               extra_conf={"spark.sql.files.maxPartitionBytes": "33554432"})
 
 
-def phase_queries(spark) -> dict[str, float]:
+def busy_control(reps: int = 3) -> float:
+    """Single-thread integer busy loop, median of `reps`: the same-run
+    host-co-tenancy control. A round whose control reads 1.4x another
+    round's cannot compare raw query walls; divide by this first."""
+    import statistics
+
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _burn(12_000_000)
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 3)
+
+
+def phase_queries(spark) -> tuple[dict[str, float], dict]:
+    """Median of 3 per headline query (single-shot timings on this VM swing
+    +-30% run to run - round-2 verdict item 2), bracketed by the busy-loop
+    control so cross-round comparisons can normalize for host co-tenancy."""
+    import statistics
+
     from high_performance_parallel_search_engine_spark.oracles import QUERIES
 
     timings = {}
+    control = {"busy_loop_before_sec": busy_control()}
     # throwaway warmup so the first headline number measures the operator,
     # not JVM/session/codegen spin-up (round-1 verdict: url_normalize's
     # 5.2 s was warmup). Must NOT itself be a HEADLINE query, else that
@@ -70,12 +90,16 @@ def phase_queries(spark) -> dict[str, float]:
     QUERIES["url_base_domain"](spark, SF_DIR).count()
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    return timings
+        walls = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(walls), 3)
+        print(f"  {name}: {timings[name]}s median of "
+              f"{[round(w, 2) for w in walls]} ({n} rows)", file=sys.stderr)
+    control["busy_loop_after_sec"] = busy_control()
+    return timings, control
 
 
 def phase_query_warm(spark) -> dict:
@@ -179,6 +203,72 @@ def run_ceiling_subprocess(procs: int, corpus_path: str,
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def phase_long_crawl(corpus_path: str) -> dict:
+    """Long-crawl economics (round-2 verdict item 6): a politeness-stretched
+    8+-round crawl over the same corpus with compact_every=4, recording the
+    url_seen read fan-in before/after compaction and that the rewind barrier
+    refuses a resume past the compaction point."""
+    import glob as _g
+
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig, run_crawl,
+    )
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        page_url,
+    )
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        read_bucketed_pages,
+    )
+
+    spark = build_session(CPUS)
+    pages, n_buckets = read_bucketed_pages(spark, corpus_path)
+    seeds = [page_url(h, 0) for h in range(min(8, N_HOSTS))]
+    workdir = tempfile.mkdtemp(prefix="bench_long_")
+    cfg = CrawlConfig(max_depth=MAX_DEPTH, max_pages=1 << 40,
+                      failure_stop=1 << 40, arbitration="scale",
+                      trace=False, max_rounds=64,
+                      politeness={"*": 800},  # budget stretches the rounds
+                      compact_every=4, pages_buckets=n_buckets)
+    t0 = time.monotonic()
+    state = run_crawl(spark, pages, seeds, workdir, cfg)
+    wall = time.monotonic() - t0
+
+    # fan-in: without compaction the anti-join unions rounds+1 delta dirs;
+    # after compact_every=4 only the merged init delta + post-compaction
+    # rounds remain
+    delta_dirs = len(_g.glob(os.path.join(workdir, "round=*",
+                                          "url_seen_delta.parquet")))
+    marker = os.path.join(workdir, "_compacted_upto")
+    compacted_upto = (int(open(marker).read())
+                      if os.path.exists(marker) else None)
+    barrier_enforced = None
+    if compacted_upto is not None and compacted_upto > 0:
+        try:
+            run_crawl(spark, pages, seeds, workdir, cfg, resume_from=0)
+            barrier_enforced = False
+        except ValueError:
+            barrier_enforced = True
+    out = {
+        "rounds": state.round,
+        "pages_fetched": state.pages_crawled,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(state.pages_crawled / wall, 2),
+        "compact_every": 4,
+        "compacted_upto_round": compacted_upto,
+        "url_seen_dirs_without_compaction": state.round + 1,
+        "url_seen_dirs_after_compaction": delta_dirs,
+        "rewind_barrier_enforced": barrier_enforced,
+        "round_walls": [m["wall_sec"] for m in state.metrics],
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+    print(f"  long_crawl: {out['rounds']} rounds, "
+          f"{out['pages_fetched']} pages, fan-in "
+          f"{out['url_seen_dirs_without_compaction']} -> "
+          f"{out['url_seen_dirs_after_compaction']}", file=sys.stderr)
+    return out
+
+
 def speedup_vs_baseline(timings: dict, crawl_big: dict) -> dict | None:
     """The reference persists a baseline metrics CSV and prints speedup
     ratios against it on every run (Serial Version/src/benchmark.c:10-91,
@@ -192,13 +282,21 @@ def speedup_vs_baseline(timings: dict, crawl_big: dict) -> dict | None:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(
             re.search(r"_r(\d+)", os.path.basename(p)).group(1)))
-    if not runs:
+    base = None
+    base_run = None
+    # newest round whose recorded JSON actually parsed (the driver stores
+    # {"parsed": null, "tail": <truncated>} when its own capture clipped)
+    for run in reversed(runs):
+        try:
+            cand = json.load(open(run)).get("parsed")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(cand, dict):
+            base, base_run = cand, run
+            break
+    if base is None:
         return None
-    try:
-        base = json.load(open(runs[-1]))["parsed"]
-    except (KeyError, json.JSONDecodeError):
-        return None
-    out = {"baseline_run": os.path.basename(runs[-1]), "queries": {}}
+    out = {"baseline_run": os.path.basename(base_run), "queries": {}}
     for name, sec in timings.items():
         b = base.get("queries", {}).get(name)
         if b and sec:
@@ -248,8 +346,9 @@ def main() -> None:
 
     # --- phase 1 + corpus prep on the big session
     spark_big = build_session(CPUS)
-    print("phase 1: headline queries", file=sys.stderr)
-    timings = phase_queries(spark_big)
+    print("phase 1: headline queries (median of 3 + busy-loop control)",
+          file=sys.stderr)
+    timings, query_control = phase_queries(spark_big)
     print("phase 1b: warm-index BM25 query latency", file=sys.stderr)
     query_warm = phase_query_warm(spark_big)
     print("prep: synthetic corpus", file=sys.stderr)
@@ -280,13 +379,36 @@ def main() -> None:
         ceil_big["pages_per_sec"] / (4 * ceil_small["pages_per_sec"]), 3) \
         if ceil_small["pages_per_sec"] else 0.0
 
+    print("phase 5: long crawl with url_seen compaction", file=sys.stderr)
+    long_crawl = phase_long_crawl(corpus_path)
+
     eff = crawl_big["urls_per_sec"] / (4 * crawl_small["urls_per_sec"]) \
         if crawl_small["urls_per_sec"] else 0.0
+
+    # extract_write stage vs the same-run zero-Spark kernel, per page
+    # (round-2 verdict item 1: target <= 1.25x at both pinnings). The final
+    # round is the big text-only one - the stage the ceiling replicates.
+    def _stage_ratio(crawl, ceil):
+        sw = crawl.get("stage_walls") or []
+        if not sw or not crawl.get("pages_fetched"):
+            return None
+        final_wall = sw[-1].get("extract_write")
+        # final-round pages = fetched total minus earlier rounds' share;
+        # metrics carry per-round walls only, so approximate with the
+        # lineage-accurate per-round fetch counts when present
+        rw = crawl.get("round_fetched")
+        final_pages = rw[-1] if rw else None
+        if not final_wall or not final_pages or not ceil.get("pages_per_sec"):
+            return None
+        stage_pps = final_pages / final_wall
+        return round(ceil["pages_per_sec"] / stage_pps, 3)
+
     result = {
         "metric": "headline_queries_plus_crawl_total",
         "value": round(time.monotonic() - total_t0, 2),
         "unit": "sec",
         "queries": timings,
+        "query_phase_control": query_control,
         "query_warm": query_warm,
         "speedup_vs_baseline": speedup_vs_baseline(timings, crawl_big),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
@@ -305,8 +427,14 @@ def main() -> None:
                 eff / workload_ceiling, 3) if workload_ceiling else 0.0,
             "extract_pages_per_sec_small": ceil_small["pages_per_sec"],
             "extract_pages_per_sec_big": ceil_big["pages_per_sec"],
+            # extract_write wall vs the same-run kernel, per page, final
+            # (text-only) round; target <= 1.25 at both pinnings
+            "extract_stage_vs_kernel_big": _stage_ratio(crawl_big, ceil_big),
+            "extract_stage_vs_kernel_small": _stage_ratio(crawl_small,
+                                                          ceil_small),
             **hardware_ceiling(),
         },
+        "long_crawl": long_crawl,
     }
     shutil.rmtree(corpus_path, ignore_errors=True)
     print(json.dumps(result))

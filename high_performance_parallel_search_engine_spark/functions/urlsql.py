@@ -99,14 +99,19 @@ def url_diversity_col(url: Column) -> Column:
 
 
 def url_hash_filename_col(url: Column) -> Column:
-    """webpage_%u.txt hash fallback (crawler.c:84-90): java-style 31*h+byte
-    over the utf-8 bytes (byte-exact via hex-pair folding), unsigned 32."""
+    """webpage_%u.txt hash fallback (crawler.c:84-90): java-style
+    31*h + url[i] over the utf-8 bytes (byte-exact via hex-pair folding),
+    unsigned 32. url[i] is a SIGNED char on x86, so bytes >= 0x80 add
+    b - 256 (pmod folds the negatives back into unsigned range)."""
     pairs = F.filter(F.split(F.hex(F.encode(url, "utf-8")), r"(?<=\G..)"),
                      lambda x: x != "")
-    h = F.aggregate(
-        pairs, F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * 31 + F.conv(x, 16, 10).cast("long"),
-                              F.lit(4294967296).cast("long")))
+
+    def _step(acc, x):
+        b = F.conv(x, 16, 10).cast("long")
+        signed = F.when(b >= 128, b - 256).otherwise(b)
+        return F.pmod(acc * 31 + signed, F.lit(4294967296).cast("long"))
+
+    h = F.aggregate(pairs, F.lit(0).cast("long"), _step)
     return F.concat(F.lit("webpage_"), h.cast("string"), F.lit(".txt"))
 
 
@@ -119,9 +124,11 @@ def derive_filename_col(url: Column) -> Column:
     seg = F.regexp_extract(url, r"/([^/]*)$", 1)
     has_tail = url.contains("/") & (F.length(seg) > 0)
     q = F.instr(seg, "?")
-    keep_q = has_tail & (q > 1) & (q - 1 < 50)
-    keep_plain = has_tail & (q == 0) & (F.length(seg) < 50)
-    return (F.when(keep_q, seg.substr(F.lit(1), q - 1))
+    pre = seg.substr(F.lit(1), q - 1)
+    # the C's 0 < len < 50 gates count BYTES (strlen), not characters
+    keep_q = has_tail & (q > 1) & (F.octet_length(pre) < 50)
+    keep_plain = has_tail & (q == 0) & (F.octet_length(seg) < 50)
+    return (F.when(keep_q, pre)
             .when(keep_plain, seg)
             .otherwise(url_hash_filename_col(url)))
 

@@ -440,15 +440,21 @@ def derive_medium_filename(url: str, html: bytes) -> str:
             if ch.isascii() and (ch.isalnum() or ch in " -_"):
                 out.append(ord("_") if ch == " " else ord(ch.lower()))
         if out:
-            return f"medium_{out.decode('ascii')}.txt"
+            # snprintf(filename, 256, "medium_%s.txt", slug): a 245+ char
+            # slug overflows the 256-byte buffer and snprintf TRUNCATES to
+            # 255 chars, eating into/past the ".txt" suffix (crawler.c:821)
+            return f"medium_{out.decode('ascii')}.txt"[:255]
     if "medium.com/@" in url:
-        user = url[url.find("@") + 1:]
-        for i, ch in enumerate(user):
-            if ch in "/?" or i >= 99:
+        # the C copies username BYTES until '/', '?' or the 99-byte cap
+        # (crawler.c:830-834)
+        ub = url.encode("utf-8")
+        user = ub[ub.find(b"@") + 1:]
+        for i, c in enumerate(user):
+            if c in (0x2F, 0x3F) or i >= 99:
                 user = user[:i]
                 break
         if user:
-            return f"medium_profile_{user}.txt"
+            return f"medium_profile_{user.decode('utf-8', 'replace')}.txt"
     return derive_filename(url)
 
 

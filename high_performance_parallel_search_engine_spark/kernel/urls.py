@@ -208,11 +208,13 @@ def url_priority(url: str, base_url: str) -> int:
 
 def url_hash_filename(url: str) -> str:
     """The hash fallback of get_url_filename (Serial Version/src/
-    crawler.c:84-90): java-style h = 31*h + byte over the url bytes,
-    unsigned 32-bit, rendered as webpage_%u.txt."""
+    crawler.c:84-90): java-style h = 31*h + url[i], unsigned 32-bit,
+    rendered as webpage_%u.txt. url[i] is a plain `char` - SIGNED on x86 -
+    so bytes >= 0x80 contribute their negative two's-complement value
+    (b - 256), not the raw byte; fuzzed byte-exact vs the compiled C."""
     h = 0
     for b in url.encode("utf-8"):
-        h = (h * 31 + b) & 0xFFFFFFFF
+        h = (h * 31 + (b if b < 0x80 else b - 256)) & 0xFFFFFFFF
     return f"webpage_{h}.txt"
 
 
@@ -220,19 +222,23 @@ def derive_filename(url: str) -> str:
     """S4: get_url_filename (Serial Version/src/crawler.c:58-90).
 
     Last path segment (text after the LAST '/'), query string stripped;
-    kept only when 0 < len < 50. Quirks preserved: a trailing-slash url, an
-    empty-before-'?' segment, or a segment of >= 50 chars all fall through
-    to the url-hash name (NOT to each other's branches)."""
-    slash = url.rfind("/")
-    if slash >= 0 and len(url) - slash > 1:
-        seg = url[slash + 1:]
-        q = seg.find("?")
+    kept only when 0 < len < 50 - measured in BYTES (the C strlen), so a
+    multi-byte-UTF-8 segment of < 50 characters but >= 50 bytes still falls
+    to the hash; fuzzed byte-exact vs the compiled C. Quirks preserved: a
+    trailing-slash url, an empty-before-'?' segment, or a >= 50-byte
+    segment all fall through to the url-hash name (NOT to each other's
+    branches)."""
+    b = url.encode("utf-8")
+    slash = b.rfind(b"/")
+    if slash >= 0 and len(b) - slash > 1:
+        seg = b[slash + 1:]
+        q = seg.find(b"?")
         if q >= 0:
             if 0 < q < 50:
-                return seg[:q]
+                return seg[:q].decode("utf-8", errors="replace")
         else:
             if 0 < len(seg) < 50:
-                return seg
+                return seg.decode("utf-8", errors="replace")
     return url_hash_filename(url)
 
 

@@ -300,25 +300,30 @@ def q_url_diversity(spark, sf_dir):
 
 
 def _url_hash_fname_sql(u: str) -> str:
-    """DuckDB rendering of the webpage_%u.txt byte hash (crawler.c:84-90)."""
+    """DuckDB rendering of the webpage_%u.txt byte hash (crawler.c:84-90);
+    the C reads SIGNED chars, so bytes >= 0x80 contribute b - 256 (the
+    double-% folds DuckDB's sign-following modulo back to unsigned)."""
     return (
         f"'webpage_' || CAST(CAST(list_reduce(list_prepend(0::HUGEINT, "
         f"list_transform(generate_series(1, octet_length(encode({u}))), "
         f"i -> CAST(('0x' || substr(hex(encode({u})), 2 * i - 1, 2)) AS INT))), "
-        f"(h, b) -> (h * 31 + b) % 4294967296) AS BIGINT) AS VARCHAR) "
+        f"(h, b) -> ((h * 31 + CASE WHEN b >= 128 THEN b - 256 ELSE b END) "
+        f"% 4294967296 + 4294967296) % 4294967296) AS BIGINT) AS VARCHAR) "
         f"|| '.txt'")
 
 
 def _fname_sql(u: str) -> str:
-    """DuckDB rendering of get_url_filename (crawler.c:58-90)."""
+    """DuckDB rendering of get_url_filename (crawler.c:58-90); the 0<len<50
+    gates count BYTES (the C strlen), hence octet_length."""
     seg = f"regexp_extract({u}, '/([^/]*)$', 1)"
     q = f"strpos({seg}, '?')"
+    pre = f"substr({seg}, 1, {q} - 1)"
     return f"""
 CASE WHEN contains({u}, '/') AND length({seg}) > 0
-          AND {q} > 1 AND {q} - 1 < 50
-     THEN substr({seg}, 1, {q} - 1)
+          AND {q} > 1 AND octet_length(encode({pre})) < 50
+     THEN {pre}
      WHEN contains({u}, '/') AND length({seg}) > 0
-          AND {q} = 0 AND length({seg}) < 50
+          AND {q} = 0 AND octet_length(encode({seg})) < 50
      THEN {seg}
      ELSE {_url_hash_fname_sql(u)} END"""
 

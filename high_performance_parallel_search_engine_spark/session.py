@@ -20,9 +20,16 @@ def build_session(app: str = "hppse-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for pandas UDFs / mapInPandas (the extraction hot path)
+        # Arrow for pandas UDFs / mapInPandas (the extraction hot path).
+        # Batch size is tuned for FAT rows (~10 KB html pages): 256 rows
+        # ~= 2.5 MB per Arrow batch. Measured on the bench corpus
+        # (tools/bench_extract_stage.py, median of 3, text-only extract):
+        # 2048 rows -> 27 s / 10000 -> 29 s / 512 -> 15 s / 256 -> 13.8 s /
+        # 128 -> 16.7 s at local[32]; 256 also wins at 8 pinned cores
+        # (45 s vs 49 s at 512). Big batches stall the JVM->Python pipeline
+        # and thrash the allocator; tiny ones pay per-batch overhead.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # shuffle sizing: small local runs want fewer partitions than the
         # 200 default; a real cluster overrides via spark-submit --conf
         .config("spark.sql.shuffle.partitions",

@@ -32,11 +32,16 @@ def main() -> None:
         build_corpus_df, page_url,
     )
 
+    # 32 MB splits: measured on the 2 GB bench corpus (batch=256, median of
+    # 3) the extract stage runs 16.1 s at 8 MB vs 13.8 s at 32/64 MB on 32
+    # cores - 8 MB splits pay ~250 python-worker task round-trips where 64
+    # suffice; small rounds still scan the same corpus, so they keep >= 2x
+    # cores of splits too
     spark = build_session(f"bench-crawl-{threads}",
                           master=f"local[{threads}]",
                           shuffle_partitions=threads,
                           extra_conf={
-                              "spark.sql.files.maxPartitionBytes": "8388608"})
+                              "spark.sql.files.maxPartitionBytes": "33554432"})
 
     # warmup: tiny crawl compiles the round pipeline + spawns workers, on a
     # BUCKETED tiny corpus with the same config shape as the timed run so
@@ -94,6 +99,7 @@ def main() -> None:
         "urls_per_sec": round(state.pages_crawled / wall, 2),
         "rounds_per_hour": round(state.round / (wall / 3600), 1),
         "round_walls": [m["wall_sec"] for m in state.metrics],
+        "round_fetched": [m["fetched"] for m in state.metrics],
         "stage_walls": [m.get("stage_wall", {}) for m in state.metrics],
     }
     shutil.rmtree(workdir, ignore_errors=True)
