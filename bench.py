@@ -123,23 +123,32 @@ def phase_query_warm(spark) -> dict:
                         (f"sf{SF_DIR.rstrip('/').split('sf')[-1]}", docs_full)]:
         postings = IX.build_postings(docs).cache()
         stats = IX.build_doc_stats(docs).cache()
-        # index-time corpus stats, as the C computes from its loaded index
+        # index-time corpus stats, as the C computes from its loaded index -
+        # including the cached (term, df) table, the analog of the C's
+        # in-memory hash index carrying df per term (EngineState does the
+        # same); rank_bm25's df_table warm path then skips the per-query
+        # df aggregation job
         total = stats.count()
         avg_dl = (stats.groupBy().sum("dl").collect()[0][0] or 0) / total
         postings.count()
-        RK.rank_bm25(postings, stats, "spark join window stream",
-                     total_docs=total, avg_dl=avg_dl).collect()  # warm plan
-        times = []
-        for _ in range(5):
-            t0 = time.monotonic()
+        dfs = IX.term_df(postings).cache()
+        dfs.count()
+        with RK.interactive_query_conf(spark):
             RK.rank_bm25(postings, stats, "spark join window stream",
                          total_docs=total, avg_dl=avg_dl,
-                         top_k=10).collect()
-            times.append((time.monotonic() - t0) * 1000)
+                         df_table=dfs).collect()  # warm plan
+            times = []
+            for _ in range(5):
+                t0 = time.monotonic()
+                RK.rank_bm25(postings, stats, "spark join window stream",
+                             total_docs=total, avg_dl=avg_dl,
+                             top_k=10, df_table=dfs).collect()
+                times.append((time.monotonic() - t0) * 1000)
         out[label] = {"median_ms": round(statistics.median(times), 1),
                       "min_ms": round(min(times), 1)}
         postings.unpersist()
         stats.unpersist()
+        dfs.unpersist()
         print(f"  query_warm {label}: {out[label]}", file=sys.stderr)
     return out
 

@@ -195,6 +195,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.query or args.interactive or args.save_baseline:
         docs = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
+        from .operators.index import term_df
+
         t1 = time.perf_counter()
         postings = build_postings(docs).cache()
         stats = build_doc_stats(docs).cache()
@@ -202,13 +204,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)
         postings.count()  # warm the cached index once; queries reuse it
+        dfs = term_df(postings).cache()
+        dfs.count()
         phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
         print(f"Indexed {total} documents.")
 
         def run_query(q: str) -> float:
+            from .operators.ranking import interactive_query_conf
+
             t2 = time.perf_counter()
-            top = rank_bm25(postings, stats, q, total_docs=total,
-                            avg_dl=avg_dl, top_k=10, fallback=True).collect()
+            with interactive_query_conf(spark):
+                top = rank_bm25(postings, stats, q, total_docs=total,
+                                avg_dl=avg_dl, top_k=10, fallback=True,
+                                df_table=dfs).collect()
             ms = (time.perf_counter() - t2) * 1000
             by_id = {r["doc_id"]: r["url"]
                      for r in docs.where(F.col("doc_id").isin(

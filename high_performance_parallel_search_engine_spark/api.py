@@ -65,6 +65,8 @@ class EngineState:
 
         from .operators.index import build_doc_stats, build_postings
 
+        from .operators.index import term_df
+
         docs = (self.spark.read
                 .parquet(f"{self.workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
@@ -74,13 +76,17 @@ class EngineState:
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)
         postings.count()
+        # (term, df) cached once at build: every search then skips the
+        # per-query df aggregation (rank_bm25 df_table warm path)
+        dfs = term_df(postings).cache()
+        dfs.count()
         # urls stay a DataFrame: resolving a top-k result joins k rows
         # against it (broadcast on the k side), so nothing doc-count-sized
         # ever crosses to the driver - a 10^9-doc corpus serves the same way
         urls = docs.select("doc_id", "url").cache()
         urls.count()
         return {"postings": postings, "stats": stats, "total": total,
-                "avg_dl": avg_dl, "urls": urls}
+                "avg_dl": avg_dl, "urls": urls, "term_df": dfs}
 
     def _index_locked(self):
         if self._index is None:
@@ -93,6 +99,7 @@ class EngineState:
                 self._index["postings"].unpersist()
                 self._index["stats"].unpersist()
                 self._index["urls"].unpersist()
+                self._index["term_df"].unpersist()
             self._index = None
 
     # ---- endpoint logic -----------------------------------------------
@@ -109,16 +116,18 @@ class EngineState:
                        fallback: bool) -> dict:
         from pyspark.sql import functions as F
 
-        from .operators.ranking import rank_bm25
+        from .operators.ranking import interactive_query_conf, rank_bm25
 
         ix = self._index_locked()
         t0 = time.perf_counter()
         hits = rank_bm25(ix["postings"], ix["stats"], query,
                          total_docs=ix["total"], avg_dl=ix["avg_dl"],
-                         top_k=limit, fallback=fallback)
+                         top_k=limit, fallback=fallback,
+                         df_table=ix["term_df"])
         # k rows broadcast into the urls table - never a driver-side url map
-        rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
-                .select("doc_id", "url", "score").collect())
+        with interactive_query_conf(self.spark):
+            rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
+                    .select("doc_id", "url", "score").collect())
         rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         ms = (time.perf_counter() - t0) * 1000
         return {"status": "ok", "query": query,

