@@ -216,7 +216,28 @@ def make_server(spark, workdir: str, pages_df=None,
         def do_GET(self):
             path = urlparse(self.path).path
             try:
-                if path == "/api/status":
+                if path == "/":
+                    # the reference serves its dashboard SPA at / (api.py:
+                    # 350-356); this engine ships a minimal status page so
+                    # the route surface is complete without a frontend build
+                    st = engine.status()
+                    body = (
+                        "<!doctype html><title>hppse-spark</title>"
+                        "<h1>High-Performance Parallel Search Engine "
+                        "(PySpark)</h1>"
+                        f"<p>workdir: {st['workdir']} - committed rounds: "
+                        f"{st['committed_rounds']}</p>"
+                        "<ul><li>GET /api/status</li><li>GET /api/metrics"
+                        "</li><li>POST /api/search {query, limit?}</li>"
+                        "<li>POST /api/crawl {start_url, depth?, max_pages?}"
+                        "</li><li>POST /api/compare {query, versions?}</li>"
+                        "</ul>").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif path == "/api/status":
                     self._json(engine.status())
                 elif path == "/api/metrics":
                     self._json(engine.metrics())

@@ -125,16 +125,77 @@ def _int_l2(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0).cast("long"), lambda s, x: s + x)
 
 
+def kmeans_centroids(embeddings: DataFrame, n_lists: int = 16,
+                     iters: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding", dim: int = 64,
+                     seed: int = 7) -> list[list[int]]:
+    """Lloyd-trained IVF centroids (the quality upgrade over the seeded
+    ivf_centroids), as the canonical Spark iterative-algorithm shape:
+
+      per iteration: ONE corpus-wide assignment aggregate (broadcast
+      centroid literals + min_by, same plan as ivf_assign) and ONE
+      per-(list, dim) mean aggregate; only the k x dim centroid matrix -
+      KBs - ever crosses to the driver, never row data. The quantized
+      corpus is cached once across iterations.
+
+    Determinism contract: centroids stay integer-quantized and the update
+    is floor(sum/count) over exact integer sums, so results are
+    reproducible regardless of partitioning or summation order (double
+    means would drift across runs/engines). Empty lists keep their previous
+    centroid. Iterative -> no single-SQL oracle; pytest pins determinism +
+    inertia monotonicity."""
+    cents = ivf_centroids(n_lists, dim, seed)
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             quant_col(F.col(vec_col)).alias("v")).cache()
+    try:
+        for _ in range(iters):
+            spark = embeddings.sparkSession
+            cdf = F.broadcast(spark.createDataFrame(
+                [(j, c) for j, c in enumerate(cents)],
+                "list_id int, cent array<bigint>"))
+            assigned = (base.crossJoin(cdf)
+                        .withColumn("_d", _int_l2(F.col("v"), F.col("cent")))
+                        .groupBy("vec_id")
+                        .agg(F.min_by(F.struct("list_id", "v"),
+                                      F.struct("_d", "list_id")).alias("_m"))
+                        .select(F.col("_m.list_id").alias("list_id"),
+                                F.col("_m.v").alias("v")))
+            sums = (assigned
+                    .select("list_id", F.posexplode("v").alias("pos", "x"))
+                    .groupBy("list_id", "pos")
+                    .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                    .collect())
+            new = [list(c) for c in cents]
+            acc: dict[int, list] = {}
+            for r in sums:
+                acc.setdefault(r["list_id"], [[0, 0]] * dim)
+            for r in sums:
+                acc[r["list_id"]][r["pos"]] = [r["s"], r["n"]]
+            for lid, cols in acc.items():
+                new[lid] = [int(s_ // n_) if n_ else cents[lid][p]
+                            for p, (s_, n_) in enumerate(cols)]
+            if new == cents:
+                break
+            cents = new
+    finally:
+        base.unpersist()
+    return cents
+
+
 def _ivf_assign_full(embeddings: DataFrame, n_lists: int,
                      id_col: str, vec_col: str,
-                     dim: int, seed: int) -> DataFrame:
+                     dim: int, seed: int,
+                     centroids: list[list[int]] | None = None) -> DataFrame:
     """(vec_id, list_id, v): argmin-centroid assignment carrying the
     quantized vector, via min_by over a struct ordering key (deterministic
     (_d, list_id) tie-break) - partial aggregation collapses the
     N x n_lists expansion map-side; no per-vector sort, and downstream
-    consumers reuse `v` instead of re-quantizing the corpus."""
+    consumers reuse `v` instead of re-quantizing the corpus.
+    `centroids` overrides the seeded defaults (pass kmeans_centroids(...)
+    output for the trained-IVF path)."""
     spark = embeddings.sparkSession
-    cents = ivf_centroids(n_lists, dim, seed)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_lists, dim, seed)
     cdf = F.broadcast(spark.createDataFrame(
         [(j, c) for j, c in enumerate(cents)],
         "list_id int, cent array<bigint>"))
@@ -151,20 +212,22 @@ def _ivf_assign_full(embeddings: DataFrame, n_lists: int,
 
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64, seed: int = 7) -> DataFrame:
+               dim: int = 64, seed: int = 7,
+               centroids: list[list[int]] | None = None) -> DataFrame:
     """(vec_id, list_id): nearest coarse centroid by exact integer L2
     (64 dims x (2^21)^2 diffs stay far below 2^63; ties break on the lower
     list id). At 10^10 rows this is the partitioning column for the
     inverted-list layout - store vectors clustered by list_id and a top-k
     probe touches nprobe/n_lists of the corpus."""
     return _ivf_assign_full(embeddings, n_lists, id_col, vec_col, dim,
-                            seed).select("vec_id", "list_id")
+                            seed, centroids).select("vec_id", "list_id")
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, seed: int = 7) -> DataFrame:
+             dim: int = 64, seed: int = 7,
+             centroids: list[list[int]] | None = None) -> DataFrame:
     """IVF ANN: each query probes its nprobe nearest inverted lists and
     scores exact quantized cosine only within them. Same output shape as
     cosine_topk (query_id, neighbor_id, cos, rk); recall < 1 by design.
@@ -175,11 +238,13 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     table broadcasts back into the list join - the corpus is scanned and
     quantized once and never all-pairs'd."""
     spark = embeddings.sparkSession
-    cents = ivf_centroids(n_lists, dim, seed)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_lists, dim, seed)
     cdf = F.broadcast(spark.createDataFrame(
         [(j, c) for j, c in enumerate(cents)],
         "list_id int, cent array<bigint>"))
-    full = _ivf_assign_full(embeddings, n_lists, id_col, vec_col, dim, seed)
+    full = _ivf_assign_full(embeddings, n_lists, id_col, vec_col, dim, seed,
+                            centroids)
     assigned = full.select(F.col("vec_id").alias("neighbor_id"),
                            F.col("v").alias("cv"), "list_id")
     # queries re-quantize from a predicate-pushdown-pruned scan (|Q| rows)

@@ -1084,6 +1084,17 @@ def q_ivf_topk(spark, sf_dir):
                         nprobe=4)
 
 
+# rows-only: Lloyd iterations are an iterative DataFrame algorithm, not one
+# SQL query (each round's centroids depend on the previous round's
+# assignment aggregate). Determinism + inertia monotonicity + recall>=seeded
+# are pinned by pytest (test_fastpath_and_extras.py).
+@q("ivf_topk_trained")
+def q_ivf_topk_trained(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, n_lists=16, iters=3)
+    return SIM.ivf_topk(emb, _QIDS, k=5, nprobe=4, centroids=cents)
+
+
 # R6 extras: the Super Hybrid CUDA demo kernels as column expressions.
 # char similarity pairs consecutive docs (lead window) on 64-char prefixes
 # (the kernel's MAX_DOCUMENT_LENGTH framing).

@@ -38,6 +38,13 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         assert code == 200 and st["status"] == "ok"
         assert st["committed_rounds"] == 0
 
+        # the dashboard root (reference api.py:350 serves the SPA; here a
+        # minimal status page completes the route surface)
+        import urllib.request as _ur
+        with _ur.urlopen(f"http://127.0.0.1:{port}/", timeout=60) as r:
+            assert r.status == 200
+            assert b"/api/search" in r.read()
+
         # /api/crawl launches a crawl over the synthetic web
         code, cr = _post(port, "/api/crawl",
                          {"start_url": "https://host0.example.com/p/0",
