@@ -178,7 +178,8 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
 def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
                     queries: list[str], total_docs: int | None = None,
                     top_k: int = 5, stopwords=DEFAULT_STOPWORDS,
-                    avg_dl: float | None = None) -> DataFrame:
+                    avg_dl: float | None = None,
+                    df_table: DataFrame | None = None) -> DataFrame:
     """The evaluation harness shape (Serial Version/src/evaluate.c:12-18:
     5 fixed queries, top-5): N queries ranked in ONE plan. Returns
     (query_id, doc_id, score, rk) with rk 1..top_k per query, ordered
@@ -207,9 +208,15 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
         return empty
     cdf = spark.createDataFrame(cands, "query_id int, qpos int, term string")
 
-    df_tbl = (postings.join(F.broadcast(cdf), "term")
-              .groupBy("query_id", "qpos", "term")
-              .agg(F.countDistinct("doc_id").alias("df")))
+    if df_table is not None:
+        # warm-index batch path: same trade as rank_bm25's df_table - a
+        # vocab-table lookup instead of a second postings scan for df
+        df_tbl = (df_table.join(F.broadcast(cdf), "term")
+                  .select("query_id", "qpos", "term", "df"))
+    else:
+        df_tbl = (postings.join(F.broadcast(cdf), "term")
+                  .groupBy("query_id", "qpos", "term")
+                  .agg(F.countDistinct("doc_id").alias("df")))
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     scored = (
