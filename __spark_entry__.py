@@ -6,10 +6,11 @@ entry()      - flagship: BM25 top-10 over the documents table for the
 queries()    - one callable per implemented operator (SURVEY.md §2 plus the
                training-data pipeline family); each (spark, sf_dir) ->
                DataFrame.
-oracle_sql() - matching DuckDB SQL per query (omitted only for the crawl
-               smoke run - the iterative BSP crawl is not one SQL query;
-               its correctness gate is the event-for-event parity pytest
-               suite against the serial oracle).
+oracle_sql() - matching DuckDB SQL per query. Omitted only for the two
+               iterative algorithms: crawl_smoke (the BSP crawl; gated by
+               the event-for-event parity pytest suite vs the serial
+               oracle) and ivf_topk_trained (Lloyd iterations; gated by
+               the determinism/inertia/balance pytest).
 
 The registry lives in high_performance_parallel_search_engine_spark/
 oracles.py; tools/check_correctness.py replicates the driver's compare

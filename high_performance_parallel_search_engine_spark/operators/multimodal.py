@@ -289,11 +289,69 @@ FRAME_SCHEMA = StructType([
 ])
 
 
-def _resize_stub(payload: bytes, w: int, h: int, fake: bool) -> bytes:
-    """CODEC SEAM: real deployments plug pillow here. Fake mode returns a
-    deterministic (w*h)-bounded byte slice so shapes are testable."""
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Full uncompressed-24-bit-BMP pixel decode: returns (width, height,
+    rows) with rows in TOP-DOWN order, each width*3 BGR bytes (padding
+    stripped, bottom-up storage order undone)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    _hs, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    height = abs(height)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    rows = []
+    off = data_off
+    for _y in range(height):
+        rows.append(payload[off:off + row_bytes])
+        off += row_bytes + pad
+    rows.reverse()  # stored bottom-up -> logical top-down
+    return width, height, rows
+
+
+def encode_bmp(width: int, height: int, rows: list[bytes]) -> bytes:
+    """Inverse of decode_bmp_pixels: rows are top-down width*3 BGR bytes."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    body = b"".join(r + b"\x00" * pad for r in reversed(rows))
+    return header + info + body
+
+
+def resize_bmp(payload: bytes, w: int, h: int) -> bytes:
+    """REAL nearest-neighbor resize for uncompressed 24-bit BMP (pure
+    struct parsing, no codec libraries): decode pixels, sample, re-encode.
+    Output is itself a valid BMP that decode_bmp_pixels round-trips."""
+    sw, sh, rows = decode_bmp_pixels(payload)
+    out_rows = []
+    for y in range(h):
+        sy = min(y * sh // h, sh - 1)
+        src = rows[sy]
+        row = bytearray()
+        for x in range(w):
+            sx = min(x * sw // w, sw - 1)
+            row += src[sx * 3:sx * 3 + 3]
+        out_rows.append(bytes(row))
+    return encode_bmp(w, h, out_rows)
+
+
+def _resize_stub(payload: bytes, w: int, h: int, fake: bool,
+                 mime: str = "application/octet-stream") -> bytes:
+    """CODEC SEAM: uncompressed BMP resizes for REAL (nearest-neighbor over
+    struct-parsed pixels); other image formats need pillow, so they take
+    the deterministic fake slice (or raise, documenting the seam)."""
+    if mime == "image/bmp":
+        return resize_bmp(payload, w, h)
     if not fake:
-        raise NotImplementedError("image resize requires pillow")
+        raise NotImplementedError(
+            f"resizing mime {mime!r} requires pillow (image/bmp resizes "
+            "for real)")
     return bytes(payload[: max(min(w * h, len(payload)), 1)])
 
 
@@ -307,8 +365,9 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [
-                    _resize_stub(bytes(p or b""), width, height, fake)
-                    for p in pdf["payload"]],
+                    _resize_stub(bytes(p or b""), width, height, fake,
+                                 mime=m)
+                    for p, m in zip(pdf["payload"], pdf["mime"])],
                 "width": width, "height": height,
             })
 

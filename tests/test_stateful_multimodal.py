@@ -126,6 +126,41 @@ def test_extract_features_real_mimes_no_fake_needed(spark):
     assert f[0] == 3.0 and f[1] == 2.0
 
 
+def test_bmp_resize_real(spark):
+    """REAL nearest-neighbor BMP resize: output is a valid BMP of the
+    target geometry whose pixels are exact source samples; the distributed
+    resize_images path runs it with fake=False for image/bmp."""
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        decode_bmp,
+        decode_bmp_pixels,
+        make_bmp,
+        resize_bmp,
+        resize_images,
+        synth_real_media_df,
+    )
+
+    src = make_bmp(6, 4, seed=9)
+    sw, sh, srows = decode_bmp_pixels(src)
+    out = resize_bmp(src, 3, 2)
+    w, h, rows = decode_bmp_pixels(out)
+    assert (w, h) == (3, 2)
+    for y in range(h):
+        sy = min(y * sh // h, sh - 1)
+        for x in range(w):
+            sx = min(x * sw // w, sw - 1)
+            assert rows[y][x * 3:x * 3 + 3] == srows[sy][sx * 3:sx * 3 + 3]
+    # upscale also exact
+    up = resize_bmp(src, 12, 8)
+    assert decode_bmp(up)[:2] == (12, 8)
+
+    docs = spark.range(9).withColumnRenamed("id", "doc_id")
+    media = synth_real_media_df(spark, docs)
+    resized = resize_images(media, width=4, height=4, fake=False).collect()
+    assert resized  # only the image/bmp rows survive the kind filter
+    for r in resized:
+        assert decode_bmp(bytes(r["payload"]))[:2] == (4, 4)
+
+
 def test_stateful_url_seen_tracker_dedups_across_batches(spark, tmp_path):
     """First occurrence ever passes; repeats (within AND across
     micro-batches) are dropped."""
