@@ -148,3 +148,24 @@ def test_politeness_budget_hot_host_skew(spark):
     # frontier: phase 1 pre-prunes to <= 16 * budget rows per host
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2  # salted phase + exact phase
+
+
+def test_doc_shingles_plan_keeps_projection_boundary(spark):
+    """Regression guard for the round-3 shingle fix: the token array must
+    materialize in its OWN Project below the explode - if CollapseProject
+    ever inlines the split() into the slice lambda again, codegen re-splits
+    the text once per shingle position (measured 6x on the sf0.1 explode).
+    The guard: exactly one split() in the optimized plan, living in a
+    Project (the _toks alias), not inside the transform lambda."""
+    from high_performance_parallel_search_engine_spark.operators.dedup import (
+        doc_shingles,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    plan = (doc_shingles(docs)._jdf.queryExecution()
+            .optimizedPlan().toString())
+    assert plan.count("split(") == 1
+    assert "_toks" in plan  # the projection boundary survived optimization
+    gen = [ln for ln in plan.splitlines() if "explode(" in ln]
+    assert gen and "split(" not in gen[0]  # no tokenizer inside the lambda
