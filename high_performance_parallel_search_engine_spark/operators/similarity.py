@@ -182,6 +182,50 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int = 16,
     return cents
 
 
+def kmeans_centroids_local(embeddings_parquet: str, n_lists: int = 16,
+                           iters: int = 5, dim: int = 64,
+                           seed: int = 7) -> list[list[int]]:
+    """Driver-local bit-exact replica of kmeans_centroids over a parquet
+    file: DuckDB performs the integer quantization (the SAME
+    `round(x*1e6)::BIGINT` expression the oracle SQL uses, so quantization
+    parity with the oracle holds by construction, and with Spark by the
+    green ivf_assign gate), then a numpy int64 Lloyd loop mirrors the
+    Spark operator exactly - argmin L2 with first-index (lowest list_id)
+    tie-break, exact integer sums, floor(sum/count) update, empty lists
+    keep their previous centroid, early stop when unchanged.
+
+    Purpose (round-3 verdict item 3): the trained centroids are
+    bit-deterministic, so inlining THESE integers as literals into both the
+    Spark query and the DuckDB oracle makes ivf_topk_trained value-hash
+    checkable (the lsh_planes-as-literals pattern). Test parity vs the
+    Spark operator is pinned in tests/test_fastpath_and_extras.py."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        "SELECT list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        f"FROM '{embeddings_parquet}' ORDER BY vec_id").fetchall()
+    vecs = np.array([r[0] for r in rows], dtype=np.int64)
+    cents = [list(c) for c in ivf_centroids(n_lists, dim, seed)]
+    for _ in range(iters):
+        cmat = np.array(cents, dtype=np.int64)
+        # (N, k) exact int64 L2: dims~2^21 -> squares ~2^44, x64 -> 2^50
+        dists = ((vecs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)  # first min = lowest list_id
+        new = [list(c) for c in cents]
+        for j in range(n_lists):
+            mask = assign == j
+            n = int(mask.sum())
+            if n:
+                s = vecs[mask].sum(axis=0, dtype=np.int64)
+                new[j] = [int(s[p]) // n for p in range(dim)]
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
 def _ivf_assign_full(embeddings: DataFrame, n_lists: int,
                      id_col: str, vec_col: str,
                      dim: int, seed: int,

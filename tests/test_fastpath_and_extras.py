@@ -451,3 +451,22 @@ def test_kmeans_centroids_deterministic_and_improving(spark):
         by_q.setdefault(r["query_id"], []).append(r["rk"])
     for rks in by_q.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_kmeans_centroids_local_matches_spark(spark):
+    """kmeans_centroids_local (the DuckDB-quantized numpy Lloyd loop that
+    builds the ivf_topk_trained oracle's centroid literals) is bit-identical
+    to the distributed Spark operator - at two shapes, including the
+    gate's exact configuration (n_lists=16, iters=3)."""
+    from high_performance_parallel_search_engine_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_local,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        for n_lists, iters in ((8, 2), (16, 3)):
+            spark_c = kmeans_centroids(emb, n_lists=n_lists, iters=iters)
+            local_c = kmeans_centroids_local(
+                f"{sf_dir}/embeddings.parquet", n_lists=n_lists, iters=iters)
+            assert spark_c == local_c, (sf_dir, n_lists, iters)
