@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "distributed into allow/disallow prefix rules")
     ap.add_argument("--resume-from", type=int, default=None, metavar="R",
                     help="rewind to round R's snapshot and replay from there")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow a fresh crawl to DISCARD committed round "
+                         "snapshots already in --workdir (without this, a "
+                         "fresh crawl into a used workdir refuses to run "
+                         "so a forgotten --resume cannot destroy them)")
     ap.add_argument("--no-clamp", action="store_true",
                     help="drop the reference's 100-page / depth-5 clamps "
                          "(scale mode)")
@@ -177,8 +182,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       robots=robots)
     _warn_resume_overrides(args)
     t0 = time.perf_counter()
-    state = run_crawl(spark, pages, [start_url], workdir, cfg,
-                      resume=args.resume, resume_from=args.resume_from)
+    try:
+        state = run_crawl(spark, pages, [start_url], workdir, cfg,
+                          resume=args.resume, resume_from=args.resume_from,
+                          overwrite=args.overwrite)
+    except ValueError as e:
+        if "committed crawl round" in str(e):
+            print(f"Error: {e}")
+            print("Hint: pass --resume to continue, --resume-from R to "
+                  "rewind, or --overwrite to discard the checkpoints.")
+            return 2
+        raise
     wall = time.perf_counter() - t0
     if state.pages_crawled > 0:
         print(f"Successfully crawled {state.pages_crawled} pages "

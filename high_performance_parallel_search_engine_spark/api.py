@@ -41,22 +41,116 @@ from urllib.parse import urlparse
 # (OpenMP Version/src/ranking.c:110-150) - which is what compare diffs.
 COMPARE_VERSIONS = {"serial": False, "openmp": True}
 
+# Self-contained dashboard served at / - the WebSite/ SPA's shape (search
+# form, version compare, status, metrics) against this API, zero build step.
+DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8">
+<title>High-Performance Parallel Search Engine (PySpark)</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:60rem;
+      padding:0 1rem;color:#222}
+ h1{font-size:1.4rem} #status{color:#555;font-size:.9rem}
+ form{display:flex;gap:.5rem;margin:1rem 0;flex-wrap:wrap}
+ input[type=text]{flex:1;min-width:16rem;padding:.4rem}
+ button{padding:.4rem .9rem;cursor:pointer}
+ table{border-collapse:collapse;width:100%;margin-top:.5rem}
+ td,th{border:1px solid #ccc;padding:.3rem .5rem;text-align:left;
+       font-size:.9rem}
+ #timing{color:#555;font-size:.85rem;margin:.4rem 0}
+ pre{background:#f6f6f6;padding:.6rem;overflow-x:auto;font-size:.8rem}
+</style></head><body>
+<h1>High-Performance Parallel Search Engine (PySpark)</h1>
+<div id="status">loading status&hellip;</div>
+<form id="searchform">
+ <input type="text" id="query" name="query" placeholder="search query"
+        required>
+ <select id="version"><option value="serial">serial</option>
+  <option value="openmp">openmp</option></select>
+ <button type="submit">Search</button>
+ <button type="button" id="comparebtn">Compare serial vs openmp</button>
+</form>
+<div id="timing"></div>
+<table id="results" hidden>
+ <thead><tr><th>#</th><th>doc_id</th><th>url</th><th>score</th></tr></thead>
+ <tbody></tbody>
+</table>
+<pre id="comparebox" hidden></pre>
+<script>
+async function api(path, body){
+  const r = await fetch(path, body ? {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify(body)} : undefined);
+  return r.json();
+}
+async function refreshStatus(){
+  try{const s = await api('/api/status');
+    document.getElementById('status').textContent =
+      'workdir ' + s.workdir + ' \\u00b7 committed rounds ' +
+      s.committed_rounds + (s.building ? ' \\u00b7 crawl in progress' : '');
+  }catch(e){document.getElementById('status').textContent =
+      'status unavailable: ' + e;}
+}
+document.getElementById('searchform').addEventListener('submit',
+  async (ev) => {
+    ev.preventDefault();
+    const q = document.getElementById('query').value;
+    const res = await api('/api/search', {query:q, limit:10});
+    const tb = document.querySelector('#results tbody');
+    tb.innerHTML = '';
+    document.getElementById('comparebox').hidden = true;
+    if(res.status !== 'ok'){
+      document.getElementById('timing').textContent = 'error: ' + res.error;
+      return;}
+    document.getElementById('timing').textContent =
+      res.results.length + ' results in ' + res.query_time_ms + ' ms';
+    res.results.forEach((r, i) => {
+      const tr = document.createElement('tr');
+      [i + 1, r.doc_id, r.url, r.score].forEach(v => {
+        const td = document.createElement('td');
+        td.textContent = v; tr.appendChild(td);});
+      tb.appendChild(tr);});
+    document.getElementById('results').hidden = false;
+  });
+document.getElementById('comparebtn').addEventListener('click',
+  async () => {
+    const q = document.getElementById('query').value;
+    if(!q) return;
+    const res = await api('/api/compare',
+                          {query:q, versions:['serial','openmp']});
+    document.getElementById('results').hidden = true;
+    const box = document.getElementById('comparebox');
+    box.textContent = JSON.stringify(res, null, 2);
+    box.hidden = false;
+    document.getElementById('timing').textContent = res.status === 'ok'
+      ? 'compare: delta ' + res.diff.query_time_ms_delta + ' ms, equal ' +
+        res.diff.results_equal : 'error: ' + res.error;
+  });
+refreshStatus();
+</script></body></html>
+"""
+
 
 class EngineState:
     """Lazily builds and caches the query index over the workdir's crawled
     pages; a crawl through /api/crawl invalidates it.
 
-    Locking: `_lock` guards the cached index for the FULL duration of every
-    search (so a concurrent crawl's invalidate() can never unpersist a
-    postings DataFrame mid-collect); `_crawl_lock` serializes /api/crawl -
-    a second build while one is running answers 409 busy instead of racing
-    two run_crawl loops into the same workdir."""
+    Locking (reader-count scheme): searches take the index under `_lock`
+    and bump a reader count, then run the Spark query OUTSIDE the lock - so
+    concurrent /api/search requests on the ThreadingHTTPServer genuinely
+    run concurrently (Spark's scheduler interleaves their jobs).
+    invalidate() waits under `_lock` until in-flight readers drain before
+    unpersisting, so a crawl can never yank cached postings mid-collect.
+    `_crawl_lock` serializes /api/crawl - a second build while one is
+    running answers 409 busy instead of racing two run_crawl loops into the
+    same workdir."""
 
     def __init__(self, spark, workdir: str, pages_df=None):
         self.spark = spark
         self.workdir = workdir
         self.pages_df = pages_df
         self._lock = threading.Lock()
+        self._no_readers = threading.Condition(self._lock)
+        self._readers = 0
         self._crawl_lock = threading.Lock()
         self._index = None
 
@@ -88,13 +182,27 @@ class EngineState:
         return {"postings": postings, "stats": stats, "total": total,
                 "avg_dl": avg_dl, "urls": urls, "term_df": dfs}
 
-    def _index_locked(self):
-        if self._index is None:
-            self._index = self._build_index()
-        return self._index
+    def _acquire_index(self):
+        """Build-if-needed and register this thread as a reader; the caller
+        MUST pair with _release_index() (see search())."""
+        with self._lock:
+            if self._index is None:
+                self._index = self._build_index()
+            self._readers += 1
+            return self._index
+
+    def _release_index(self):
+        with self._lock:
+            self._readers -= 1
+            if self._readers == 0:
+                self._no_readers.notify_all()
 
     def invalidate(self):
+        """Drop the cached index; blocks until in-flight searches finish so
+        their cached DataFrames are never unpersisted mid-query."""
         with self._lock:
+            while self._readers:
+                self._no_readers.wait()
             if self._index is not None:
                 self._index["postings"].unpersist()
                 self._index["stats"].unpersist()
@@ -112,13 +220,12 @@ class EngineState:
                 "workdir": self.workdir, "committed_rounds": len(rounds),
                 "building": self._crawl_lock.locked()}
 
-    def _search_locked(self, query: str, limit: int,
-                       fallback: bool) -> dict:
+    def _search_with(self, ix, query: str, limit: int,
+                     fallback: bool) -> dict:
         from pyspark.sql import functions as F
 
         from .operators.ranking import interactive_query_conf, rank_bm25
 
-        ix = self._index_locked()
         t0 = time.perf_counter()
         hits = rank_bm25(ix["postings"], ix["stats"], query,
                          total_docs=ix["total"], avg_dl=ix["avg_dl"],
@@ -136,23 +243,38 @@ class EngineState:
                              "score": round(r["score"], 4)} for r in rows]}
 
     def search(self, query: str, limit: int = 10) -> dict:
-        with self._lock:
-            return self._search_locked(query, limit, fallback=True)
+        ix = self._acquire_index()
+        try:
+            return self._search_with(ix, query, limit, fallback=True)
+        finally:
+            self._release_index()
 
     def compare(self, query: str, versions: list[str],
                 limit: int = 10) -> dict:
         """WebSite/api.py:468 analog: one query through each named version,
-        results + timings side by side plus a diff envelope."""
-        bad = [v for v in versions if v.lower() not in COMPARE_VERSIONS]
+        results + timings side by side plus a diff envelope. Versions are
+        normalized lowercase and de-duplicated (['Serial','serial'] is one
+        run, keyed 'serial', matching the reference's canonical names)."""
+        seen = set()
+        versions = [v.lower() for v in versions
+                    if not (v.lower() in seen or seen.add(v.lower()))]
+        bad = [v for v in versions if v not in COMPARE_VERSIONS]
         if bad:
             return {"status": "error", "_code": 400,
                     "error": f"Invalid version: {bad[0]}. Must be one of: "
                              f"{', '.join(sorted(COMPARE_VERSIONS))}"}
+        if not versions:
+            return {"status": "error", "_code": 400,
+                    "error": "versions must name at least one of: "
+                             f"{', '.join(sorted(COMPARE_VERSIONS))}"}
         results = {}
-        with self._lock:
+        ix = self._acquire_index()
+        try:
             for v in versions:
-                results[v] = self._search_locked(
-                    query, limit, fallback=COMPARE_VERSIONS[v.lower()])
+                results[v] = self._search_with(
+                    ix, query, limit, fallback=COMPARE_VERSIONS[v])
+        finally:
+            self._release_index()
         diff = {}
         if len(versions) >= 2:
             a, b = versions[0], versions[1]
@@ -185,9 +307,15 @@ class EngineState:
             if pages is None:
                 pages = build_corpus_df(self.spark) \
                     .select("url", "warc_ts", "html", "lang")
+            # invalidate BEFORE the crawl: run_crawl's fresh-start path
+            # deletes prior round dirs, and a cached index whose backing
+            # parquet vanished would fail any recompute (block eviction)
+            # mid-crawl. invalidate() also drains in-flight searches first.
+            self.invalidate()
             state = run_crawl(self.spark, pages, [start_url], self.workdir,
                               CrawlConfig(max_depth=depth,
-                                          max_pages=max_pages))
+                                          max_pages=max_pages),
+                              overwrite=True)
             self.invalidate()
             return {"status": "ok", "pages_crawled": state.pages_crawled,
                     "rounds": state.round,
@@ -218,20 +346,11 @@ def make_server(spark, workdir: str, pages_df=None,
             try:
                 if path == "/":
                     # the reference serves its dashboard SPA at / (api.py:
-                    # 350-356); this engine ships a minimal status page so
-                    # the route surface is complete without a frontend build
-                    st = engine.status()
-                    body = (
-                        "<!doctype html><title>hppse-spark</title>"
-                        "<h1>High-Performance Parallel Search Engine "
-                        "(PySpark)</h1>"
-                        f"<p>workdir: {st['workdir']} - committed rounds: "
-                        f"{st['committed_rounds']}</p>"
-                        "<ul><li>GET /api/status</li><li>GET /api/metrics"
-                        "</li><li>POST /api/search {query, limit?}</li>"
-                        "<li>POST /api/crawl {start_url, depth?, max_pages?}"
-                        "</li><li>POST /api/compare {query, versions?}</li>"
-                        "</ul>").encode()
+                    # 350-356, WebSite/index.html); this ships the same
+                    # shape as ONE self-contained page - a search form,
+                    # version compare, status strip and metrics view wired
+                    # to the JSON API - no frontend build step.
+                    body = DASHBOARD_HTML.encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.send_header("Content-Length", str(len(body)))
@@ -261,14 +380,15 @@ def make_server(spark, workdir: str, pages_df=None,
                     self._json(engine.search(
                         data["query"], int(data.get("limit", 10))))
                 elif path == "/api/compare":
-                    if "query" not in data:
+                    # the reference requires BOTH fields (WebSite/api.py:
+                    # 474) - no silent default for versions
+                    if "query" not in data or "versions" not in data:
                         self._json({"status": "error",
                                     "error": "Missing required fields: "
                                              "query and versions"}, 400)
                         return
                     self._json(engine.compare(
-                        data["query"],
-                        data.get("versions") or ["serial", "openmp"],
+                        data["query"], data["versions"],
                         int(data.get("limit", 10))))
                 elif path == "/api/crawl":
                     if "start_url" not in data:

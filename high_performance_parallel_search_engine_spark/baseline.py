@@ -47,17 +47,32 @@ def load_baseline(path: str) -> dict[str, float]:
     return out
 
 
+# calculate_speedup's fixed printout set (benchmark.c:77-90): metric CSV
+# name -> printed label. Crawling prints only when the current value is > 0;
+# the other four lines ALWAYS print (speedup 0.00x when current is 0).
+_REPORT_LINES = [
+    ("CrawlingTime_ms", "Crawling:"),
+    ("ParsingTime_ms", "Parsing:"),
+    ("TokenizingTime_ms", "Tokenizing:"),
+    ("IndexingTime_ms", "Indexing:"),
+    ("QueryProcessingTime_ms", "Query:"),
+]
+
+
 def speedup_report(baseline: dict[str, float],
                    current: dict[str, float]) -> list[str]:
-    """calculate_speedup's printout (benchmark.c:52-100): per-metric
-    current vs baseline with the ratio; returns the printable lines."""
+    """calculate_speedup's printout (benchmark.c:52-100), line-faithful:
+    the five fixed phase lines with the C's labels ('Query:', not
+    'QueryProcessing:'), Crawling skipped only when its current time is 0,
+    the rest always emitted, speedup 0 when current is 0."""
     lines = ["=========== PERFORMANCE SPEEDUP METRICS ==========="]
-    for name, cur in current.items():
-        base = baseline.get(name)
-        if base is None or cur <= 0:
+    for name, label in _REPORT_LINES:
+        cur = float(current.get(name, 0.0) or 0.0)
+        base = float(baseline.get(name, 0.0) or 0.0)
+        if name == "CrawlingTime_ms" and cur <= 0:
             continue
-        label = name.removesuffix("_ms").removesuffix("Time") + ":"
+        ratio = base / cur if cur > 0 else 0.0
         lines.append(f"{label:<14}{cur:.2f} ms  (Baseline: {base:.2f} ms)"
-                     f"  Speedup: {base / cur:.2f}x")
+                     f"  Speedup: {ratio:.2f}x")
     lines.append("===================================================")
     return lines

@@ -704,13 +704,18 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
               workdir: str, config: CrawlConfig | None = None,
               resume: bool = False,
-              resume_from: int | None = None) -> CrawlState:
+              resume_from: int | None = None,
+              overwrite: bool = False) -> CrawlState:
     """Drive rounds until a stop condition (crawler.c:1075 analog) or the
     frontier drains. `resume=True` continues from the last committed round
     snapshot instead of re-initializing; `resume_from=r` rewinds to round
     r's snapshot FIRST (discarding every later round's outputs - each round
     dir is self-contained, so dropping the later dirs restores the exact
-    post-r state; north_star: "resumes exactly from any checkpoint")."""
+    post-r state; north_star: "resumes exactly from any checkpoint").
+
+    A fresh (non-resume) crawl into a workdir holding committed rounds
+    DESTROYS those checkpoints, so it requires `overwrite=True` - a
+    forgotten --resume must not silently erase a long crawl's snapshots."""
     import shutil as _sh
 
     config = config or CrawlConfig()
@@ -737,6 +742,16 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
         # later rounds into the round=*/pages.parquet glob that /api/status,
         # /api/metrics and index builds read (colliding seq-based doc_ids),
         # and a stale _compacted_upto marker would block legitimate rewinds.
+        # Guard: deleting committed rounds is destructive, so it must be
+        # explicitly requested (a forgotten --resume is the failure mode).
+        committed = [d.name for d in sorted(Path(workdir).glob("round=*"))
+                     if (d / "manifest.json").exists()
+                     and not d.name.startswith("round=-")]
+        if committed and not overwrite:
+            raise ValueError(
+                f"workdir {workdir} holds {len(committed)} committed crawl "
+                "round(s); pass resume=True/resume_from to continue them, "
+                "or overwrite=True to discard them and start fresh")
         for d in sorted(Path(workdir).glob("round=*")):
             _sh.rmtree(d, ignore_errors=True)
         (Path(workdir) / "_compacted_upto").unlink(missing_ok=True)

@@ -38,12 +38,16 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         assert code == 200 and st["status"] == "ok"
         assert st["committed_rounds"] == 0
 
-        # the dashboard root (reference api.py:350 serves the SPA; here a
-        # minimal status page completes the route surface)
+        # the dashboard root (reference api.py:350-356 serves the WebSite/
+        # SPA; here ONE self-contained page with a working search form,
+        # compare button and status strip wired to the JSON API)
         import urllib.request as _ur
         with _ur.urlopen(f"http://127.0.0.1:{port}/", timeout=60) as r:
             assert r.status == 200
-            assert b"/api/search" in r.read()
+            page = r.read()
+        assert b"/api/search" in page and b"/api/compare" in page
+        assert b'id="searchform"' in page and b'name="query"' in page
+        assert b"<form" in page and b"fetch(" in page
 
         # /api/crawl launches a crawl over the synthetic web
         code, cr = _post(port, "/api/crawl",
@@ -74,7 +78,8 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         # /api/compare (WebSite/api.py:468 analog): same query through both
         # ranking versions, results + timings side by side + diff envelope
         code, cp = _post(port, "/api/compare",
-                         {"query": "crawl indexes bm25", "limit": 5})
+                         {"query": "crawl indexes bm25", "limit": 5,
+                          "versions": ["serial", "openmp"]})
         assert code == 200 and cp["status"] == "ok"
         assert set(cp["results"]) == {"serial", "openmp"}
         for v in cp["results"].values():
@@ -82,11 +87,22 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         assert "query_time_ms_delta" in cp["diff"]
         # same corpus, all primary terms present -> identical rankings
         assert cp["diff"]["results_equal"] is True
+        # versions normalize lowercase and de-duplicate: ['Serial','serial']
+        # is ONE run keyed 'serial' (ADVICE round-3)
+        code, cp_dup = _post(port, "/api/compare",
+                             {"query": "crawl indexes bm25",
+                              "versions": ["Serial", "serial"]})
+        assert code == 200 and list(cp_dup["results"]) == ["serial"]
+        assert cp_dup["diff"] == {}
         code, cp_bad = _post(port, "/api/compare",
                              {"query": "x", "versions": ["serial", "cuda"]})
         assert code == 400 and "Invalid version" in cp_bad["error"]
         code, cp_miss = _post(port, "/api/compare", {})
         assert code == 400
+        # the reference requires the versions field (WebSite/api.py:474) -
+        # no silent default
+        code, cp_nov = _post(port, "/api/compare", {"query": "x"})
+        assert code == 400 and "versions" in cp_nov["error"]
     finally:
         srv.shutdown()
 
@@ -135,3 +151,77 @@ def test_api_crawl_busy_returns_409(spark, tmp_path):
     # lock released -> the same call now runs
     out = eng.crawl("https://host0.example.com/p/0", 1, 3)
     assert out["status"] == "ok" and out["pages_crawled"] > 0
+
+
+def test_api_concurrent_searches_and_invalidate_waits(spark, tmp_path):
+    """Reader-count locking (ADVICE round-3): concurrent searches run
+    without serializing on the engine lock, and invalidate() blocks until
+    in-flight readers drain (so a crawl can never unpersist cached postings
+    mid-collect)."""
+    import time as _time
+
+    from high_performance_parallel_search_engine_spark.api import EngineState
+
+    eng = EngineState(spark, str(tmp_path / "wd3"))
+    out = eng.crawl("https://host0.example.com/p/0", 2, 20)
+    assert out["status"] == "ok"
+
+    results, errs = [], []
+
+    def do_search():
+        try:
+            results.append(eng.search("crawl indexes bm25", 5))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=do_search) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs and len(results) == 4
+    assert all(r["status"] == "ok" and r["results"] for r in results)
+
+    # invalidate() waits for a registered reader: hold the index as a
+    # reader in this thread, fire invalidate in another, confirm it blocks
+    # until release
+    eng._acquire_index()
+    inv_done = threading.Event()
+    t = threading.Thread(target=lambda: (eng.invalidate(), inv_done.set()))
+    t.start()
+    _time.sleep(0.3)
+    assert not inv_done.is_set()  # blocked on the in-flight reader
+    eng._release_index()
+    t.join(timeout=30)
+    assert inv_done.is_set()
+    assert eng._index is None
+
+
+def test_run_crawl_refuses_silent_overwrite(spark, tmp_path):
+    """A fresh (non-resume) run_crawl into a workdir holding committed
+    rounds raises unless overwrite=True - a forgotten --resume must not
+    destroy a long crawl's checkpoints (ADVICE round-3)."""
+    import pytest
+
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig,
+        run_crawl,
+    )
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df,
+    )
+
+    pages = build_corpus_df(spark).select("url", "warc_ts", "html", "lang")
+    wd = str(tmp_path / "wd4")
+    cfg = CrawlConfig(max_depth=2, max_pages=10, failure_stop=50)
+    seeds = ["https://host0.example.com/p/0"]
+    st1 = run_crawl(spark, pages, seeds, wd, cfg)
+    assert st1.pages_crawled > 0
+
+    with pytest.raises(ValueError, match="committed crawl round"):
+        run_crawl(spark, pages, seeds, wd, cfg)
+    # resume and explicit overwrite both still work
+    st2 = run_crawl(spark, pages, seeds, wd, cfg, resume=True)
+    assert st2.pages_crawled == st1.pages_crawled
+    st3 = run_crawl(spark, pages, seeds, wd, cfg, overwrite=True)
+    assert st3.pages_crawled == st1.pages_crawled

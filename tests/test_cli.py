@@ -100,6 +100,12 @@ def test_cli_baseline_save_and_compare(spark, tmp_path, capsys):
     assert rc == 0
     assert "PERFORMANCE SPEEDUP METRICS" in out
     assert "Speedup:" in out and "Crawling:" in out
+    # benchmark.c:80-92 prints a FIXED five-line set with these labels
+    # ('Query:', not 'QueryProcessing:'); phases this engine fuses into the
+    # Spark extract stage still print (0.00 ms, 0.00x), as the C does for
+    # a zero phase
+    for label in ("Parsing:", "Tokenizing:", "Indexing:", "Query:"):
+        assert label in out
 
     # missing baseline file -> benchmark.c's warning + defaults, not a crash
     rc = main(["-c", "https://host0.example.com/p/0", "-d", "1", "-p", "5",

@@ -208,3 +208,43 @@ def test_url_key_collision_resistance():
     k2 = _url_key("https://b.com/y", 42)  # same routing hash (simulated)
     assert len(k1) == len(k2) == 16
     assert k1[:8] == k2[:8] and k1[8:] != k2[8:]
+
+
+def test_stateful_url_seen_tracker_state_bytes_at_100k(spark, tmp_path):
+    """Round-3 verdict item 6: the packed-blob invariant at realistic
+    volume - 135k urls (100k distinct, overlaps across batches) through 3
+    micro-batches; every shard's state blob stays 16-byte-aligned and the
+    TOTAL state is byte-exactly 16 * distinct urls (no per-entry encoding
+    overhead, no growth from repeats)."""
+    from pyspark.sql import functions as F
+
+    from high_performance_parallel_search_engine_spark.streaming.stateful import (
+        url_seen_tracker,
+    )
+
+    src = str(tmp_path / "urls100k")
+    # three overlapping windows over 0..99999: 135k rows, 100k distinct
+    for lo, hi in ((0, 45_000), (30_000, 75_000), (55_000, 100_000)):
+        (spark.range(lo, hi)
+         .select(F.concat(F.lit("https://h"), (F.col("id") % 97),
+                          F.lit(".com/p/"), F.col("id")).alias("url"))
+         .coalesce(1)
+         .write.mode("append").parquet(src + "/u"))
+    stream = (spark.readStream.schema("url string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/u"))
+    out = url_seen_tracker(stream, n_shards=32)
+    q = (out.writeStream.format("memory").queryName("seen_100k")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck_100k"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    agg = spark.sql(
+        "select count(*) n, count(distinct url) d from seen_100k").collect()[0]
+    assert agg["n"] == 100_000 and agg["d"] == 100_000
+
+    state = (spark.read.format("statestore")
+             .load(str(tmp_path / "ck_100k"))
+             .select("value.groupState.seen").collect())
+    sizes = [len(bytes(r["seen"])) for r in state]
+    assert all(s % 16 == 0 for s in sizes)
+    assert sum(sizes) == 16 * 100_000
