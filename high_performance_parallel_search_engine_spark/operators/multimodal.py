@@ -549,3 +549,36 @@ def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id",
 
     return docs.select(id_col, text_col).mapInPandas(
         run, schema=ROLLING_FP_SCHEMA)
+
+
+FRAME_SUM_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pixel_sum", LongType()),
+])
+
+
+def frame_pixel_sums(frames: DataFrame) -> DataFrame:
+    """Reduce sampled frames (media_id, frame_idx, frame: BMP bytes) to
+    integer features via the REAL BMP decode - (width, height, pixel byte
+    sum). Pairs with sample_frames(fake=False) to make video frame
+    sampling oracle-checkable: the whole chain AVI encode -> container
+    parse -> frame pick -> BMP re-encode -> BMP decode must preserve the
+    closed-form pixel bytes for the sums to match."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w_, h_, s_ = [], [], []
+            for payload in pdf["frame"]:
+                w, h, psum = decode_bmp(bytes(payload))
+                w_.append(w)
+                h_.append(h)
+                s_.append(psum)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "width": w_, "height": h_, "pixel_sum": s_,
+            })
+
+    return frames.mapInPandas(run, schema=FRAME_SUM_SCHEMA)

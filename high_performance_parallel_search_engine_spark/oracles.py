@@ -1334,6 +1334,37 @@ def q_media_decode_real(spark, sf_dir):
     return decode_media_features(synth_real_media_df(spark, docs))
 
 
+# Video frame sampling as a value-checked gate: real AVI bytes -> container
+# parse -> frame pick (tick k of a 4-fps stream at every_ms=250 samples
+# source frame k) -> BMP re-encode -> BMP decode to integer pixel sums.
+# DuckDB recomputes every frame's sum from doc_id closed forms, so a
+# mistake anywhere in the chain (chunk walk, bottom-up undo, padding,
+# re-encode) breaks the hash.
+@q("frame_sample_real", """
+WITH v AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (2 + doc_id % 4) - 1)) AS f
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id, f AS frame_idx,
+       2 + doc_id % 6 AS width, 2 + doc_id % 3 AS height,
+       CAST(list_sum(list_transform(
+              generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 3) * 3 - 1),
+              j -> ((doc_id % 199) + f * 31 + j) % 256)) AS BIGINT)
+         AS pixel_sum
+FROM v""")
+def q_frame_sample_real(spark, sf_dir):
+    from .operators.multimodal import (
+        frame_pixel_sums,
+        sample_frames,
+        synth_real_media_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_real_media_df(spark, docs)
+    return frame_pixel_sums(sample_frames(media, every_ms=250, fake=False))
+
+
 # F9 extract_title (crawler.c:749-797): html synthesized deterministically
 # from the documents table covers the kernel's gates - missing <title>,
 # empty title, unclosed </title>, '<title' with no '>', and the
