@@ -1365,6 +1365,37 @@ def q_frame_sample_real(spark, sf_dir):
     return frame_pixel_sums(sample_frames(media, every_ms=250, fake=False))
 
 
+# BMP resize as a value-checked gate: real (2+d%7)x(2+d%5) BMPs resize to
+# 3x2 via nearest-neighbor; DuckDB recomputes the resized pixel sum from
+# the closed-form source bytes and the SAME sampling arithmetic
+# (sy = min(y*sh//h, sh-1), sx = min(x*sw//w, sw-1); resize_bmp's rule).
+# Channel sums are BGR/RGB-order-agnostic by construction.
+@q("resize_real", """
+SELECT doc_id AS media_id, 0 AS frame_idx, 3 AS width, 2 AS height,
+       CAST(list_sum(flatten(list_transform(generate_series(0, 1), y ->
+         flatten(list_transform(generate_series(0, 2), x ->
+           list_transform(generate_series(0, 2), c ->
+             ((doc_id % 251)
+              + (least(y * (2 + doc_id % 5) // 2, (2 + doc_id % 5) - 1)
+                   * (2 + doc_id % 7)
+                 + least(x * (2 + doc_id % 7) // 3, (2 + doc_id % 7) - 1))
+                * 3 + c) % 256)))))) AS BIGINT) AS pixel_sum
+FROM documents WHERE doc_id % 3 = 0""")
+def q_resize_real(spark, sf_dir):
+    from .operators.multimodal import (
+        frame_pixel_sums,
+        resize_images,
+        synth_real_media_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_real_media_df(spark, docs)
+    resized = resize_images(media, width=3, height=2, fake=False)
+    frames = resized.select("media_id", F.lit(0).alias("frame_idx"),
+                            F.col("payload").alias("frame"))
+    return frame_pixel_sums(frames)
+
+
 # F9 extract_title (crawler.c:749-797): html synthesized deterministically
 # from the documents table covers the kernel's gates - missing <title>,
 # empty title, unclosed </title>, '<title' with no '>', and the
