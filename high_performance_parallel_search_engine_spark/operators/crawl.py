@@ -277,6 +277,34 @@ def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
     return pages.where(F.col("bucket").isin(bks))
 
 
+# frontier sizes up to this push their url list into the pages scan; the
+# collected list is a slim single column (4096 urls ~ 400 KB driver-side),
+# and the gate keeps the IN list under the session's raised
+# parquet.pushdown.inFilterThreshold so the whole list reaches parquet
+URL_PUSHDOWN_MAX = 4096
+
+
+def _pushdown_small_frontier(pages: DataFrame, frontier: DataFrame,
+                             state: CrawlState) -> DataFrame:
+    """Point-lookup pushdown for small rounds: filter the pages table to
+    the frontier's exact urls so the predicate reaches the parquet reader
+    (PushedFilters: In(url, ...)). On a url-sorted bucket layout
+    (sources/tables.write_bucketed_pages) row-group min/max stats and page
+    indexes then skip everything but the row groups holding those urls -
+    without it, a 32-url round decompresses every page body in the
+    frontier's buckets just to probe the fetch join. Semantics-neutral for
+    BOTH fetch-join forms: the filter keeps every page whose url appears
+    in the (pre-gate) frontier, a superset of any fetchset, so inner joins
+    lose nothing and the exact path's LEFT join still sees every possible
+    match (absent urls still come back null = failed fetch)."""
+    if not (0 < state.next_frontier_rows <= URL_PUSHDOWN_MAX):
+        return pages
+    urls = [r["url"] for r in frontier.select("url").distinct().collect()]
+    if not urls or len(urls) > URL_PUSHDOWN_MAX:
+        return pages
+    return pages.where(F.col("url").isin(urls))
+
+
 def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
                    state: CrawlState, config: CrawlConfig) -> dict:
     """Throughput-mode round (config.trace=False): same dataflow as
@@ -302,6 +330,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
     pages = _prune_pages_by_bucket(pages, frontier, config, state)
+    pages = _pushdown_small_frontier(pages, frontier, state)
 
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
     f = apply_robots(f, _robots_df(spark, config))
@@ -425,6 +454,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
     pages = _prune_pages_by_bucket(pages, frontier, config, state)
+    pages = _pushdown_small_frontier(pages, frontier, state)
 
     # ---- gates: validity (silent), robots, politeness ----
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))

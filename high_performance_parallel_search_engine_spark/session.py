@@ -36,6 +36,12 @@ def build_session(app: str = "hppse-spark", master: str | None = None,
                 str(shuffle_partitions
                     or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # point-lookup pushdown: small crawl frontiers push `url IN (...)`
+        # into the parquet scan (operators/crawl._pushdown_small_frontier);
+        # the default threshold (10) would collapse big IN lists to a
+        # min/max range, which prunes nothing on hash-distributed urls -
+        # raise it so the whole list reaches the row-group/page-index stats
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "8192")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

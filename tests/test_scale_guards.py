@@ -169,3 +169,53 @@ def test_doc_shingles_plan_keeps_projection_boundary(spark):
     assert "_toks" in plan  # the projection boundary survived optimization
     gen = [ln for ln in plan.splitlines() if "explode(" in ln]
     assert gen and "split(" not in gen[0]  # no tokenizer inside the lambda
+
+
+def test_small_frontier_url_pushdown_reaches_parquet(spark, tmp_path):
+    """Point-lookup pushdown (round-4): a small frontier's url list must
+    reach the parquet scan as PushedFilters In(url, ...) - on the
+    url-sorted bucket layout that prunes the lookup to the row groups
+    actually holding those urls; big frontiers skip the gate entirely."""
+    from pyspark.sql import functions as F
+
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        URL_PUSHDOWN_MAX,
+        CrawlState,
+        _pushdown_small_frontier,
+    )
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df,
+        page_url,
+    )
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        read_bucketed_pages,
+        write_bucketed_pages,
+    )
+
+    df = build_corpus_df(spark, n_hosts=2, pages_per_host=40, n_medium=0,
+                         with_oracle_text=False)
+    write_bucketed_pages(df.select("url", "warc_ts", "html", "lang"),
+                         str(tmp_path / "p"), n_buckets=8)
+    pages, _ = read_bucketed_pages(spark, str(tmp_path / "p"))
+    # sorted layout is recorded in the bucketing meta
+    import json as _json
+    meta = _json.loads((tmp_path / "p" / "_bucketing.json").read_text())
+    assert meta["sorted_by"] == "url"
+
+    fr = spark.createDataFrame([(page_url(0, i),) for i in range(3)],
+                               "url string")
+    small = _pushdown_small_frontier(pages, fr,
+                                     CrawlState(next_frontier_rows=3))
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan_lines and any("In(url" in ln for ln in scan_lines)
+    # the session's raised inFilterThreshold keeps a multi-hundred-value
+    # list pushable (the default 10 would degrade it to a min/max range)
+    assert int(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold")) >= URL_PUSHDOWN_MAX
+    # semantics: the filter keeps exactly the frontier's pages
+    assert small.count() == 3
+
+    big = _pushdown_small_frontier(
+        pages, fr, CrawlState(next_frontier_rows=URL_PUSHDOWN_MAX + 1))
+    assert big is pages  # gate skipped - no collect, no filter
