@@ -250,3 +250,57 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         src: str = "doc_a", dst: str = "doc_b",
+                         id_col: str = "doc_id",
+                         max_iters: int = 50) -> DataFrame:
+    """Near-dup CLUSTER ids from candidate pairs: (doc_id, component, keep)
+    where component = the smallest doc_id reachable through the pair graph
+    (singletons label themselves) and keep marks the canonical survivor -
+    the step that turns any pair family's edges (minhash LSH, n-gram
+    Jaccard, cosine near-dup) into an actual deduplicated corpus.
+
+    Algorithm: min-label propagation to fixpoint - per iteration ONE
+    join (labels x symmetric edges) + ONE min-aggregate, then a cheap
+    changed-row count; lineage is cut every iteration (localCheckpoint) so
+    the plan does not grow with the iteration count. Converges in
+    O(cluster diameter) rounds - near-dup clusters are shallow, so this is
+    2-4 iterations in practice; the large-star/small-star variant is the
+    drop-in upgrade if 10^6-node chains ever appear. Deterministic: labels
+    are integer minima, independent of partitioning. Iterative -> the
+    DuckDB oracle uses a recursive CTE (transitive closure + MIN) instead
+    of one SQL query."""
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(pairs.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("label")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (labels.join(edges, labels["node"] == edges["a"])
+                .select(F.col("b").alias("node"), "label"))
+        new = (labels.unionByName(prop)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("component"),
+                         (F.col("node") == F.col("label")).alias("keep"))
+
+
+def dedup_survivors(docs: DataFrame, components: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Filter a corpus to each near-dup cluster's canonical survivor (the
+    min-id member). components = connected_components(...) output; the
+    join is on the id only, so document bodies never shuffle - the keep
+    list co-partitions with the corpus on doc_id."""
+    keep = components.where(F.col("keep")).select(id_col)
+    return docs.join(keep, id_col)

@@ -850,6 +850,49 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Near-dup clustering: pairs -> component ids -> survivor flags (the step
+# that turns a pair family's edges into a deduplicated corpus). The Spark
+# side is iterative min-label propagation (connected_components); the
+# oracle expresses the same fixpoint as a DuckDB RECURSIVE CTE (transitive
+# closure + MIN over reachable ids) over the minhash-LSH edge set -
+# iterative on one engine, recursive on the other, identical labels.
+ORACLE_DEDUP_COMPONENTS = (
+    SHINGLE_CTE.replace("WITH raw", "WITH RECURSIVE raw", 1) + f"""
+, sigraw AS (
+  SELECT doc_id, {_MH_MINS_SQL}
+  FROM shingles GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_BAND_KEYS_SQL} FROM sigraw
+), rawbuckets AS ({_BAND_UNION_SQL}),
+buckets AS (
+  SELECT doc_id, band, bucket FROM rawbuckets
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {D.MAX_BUCKET_SIZE}
+), mh_pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(label) AS component,
+       node = MIN(label) AS keep
+FROM reach GROUP BY node""")
+
+
+@q("dedup_components", ORACLE_DEDUP_COMPONENTS)
+def q_dedup_components(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.connected_components(pairs, docs)
+
+
 _SIM_VOTES_SQL = ",\n       ".join(
     f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN tf ELSE -tf END) AS v_{k}"
     for k in range(D.SIMHASH_BITS))

@@ -470,3 +470,33 @@ def test_kmeans_centroids_local_matches_spark(spark):
             local_c = kmeans_centroids_local(
                 f"{sf_dir}/embeddings.parquet", n_lists=n_lists, iters=iters)
             assert spark_c == local_c, (sf_dir, n_lists, iters)
+
+
+def test_connected_components_and_survivors(spark):
+    """Near-dup clustering: min-label propagation finds components across
+    chained pairs (a-b, b-c => one cluster labeled by its min id),
+    singletons label themselves, and dedup_survivors keeps exactly the
+    min-id member of each cluster."""
+    from high_performance_parallel_search_engine_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    # clusters: {0,1,2} via chain, {3,5} direct, {4},{6},{7} singletons;
+    # chain 0-1, 1-2 requires 2 propagation rounds - exercises the loop
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 5)], "doc_a long, doc_b long")
+    comp = connected_components(pairs, docs)
+    got = {r["doc_id"]: (r["component"], r["keep"]) for r in comp.collect()}
+    assert got == {0: (0, True), 1: (0, False), 2: (0, False),
+                   3: (3, True), 4: (4, True), 5: (3, False),
+                   6: (6, True), 7: (7, True)}
+    # determinism across runs
+    got2 = {r["doc_id"]: (r["component"], r["keep"])
+            for r in connected_components(pairs, docs).collect()}
+    assert got2 == got
+    kept = sorted(r["doc_id"] for r in
+                  dedup_survivors(docs, comp).select("doc_id").collect())
+    assert kept == [0, 3, 4, 6, 7]
