@@ -2,11 +2,15 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct. The
 Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning) is real and tested; the actual codec work is STUBBED behind
-clearly-marked seams (no image/audio libraries in this container): decode
-raises NotImplementedError unless `fake=True`, which substitutes a
-deterministic fake feature extractor so the pipeline shape is exercisable
-end-to-end.
+partitioning) is real and tested, and three container formats run REAL
+bytes end to end with zero dependencies: uncompressed 24-bit BMP
+(decode + nearest-neighbor resize, struct parsing), 16-bit PCM WAV
+(stdlib wave), and uncompressed DIB AVI (decode + frame sampling, RIFF
+parsing; sampled frames re-encode as BMPs that feed the resize path).
+Compressed formats (jpeg/mp3/mp4/h264) remain STUBBED behind
+clearly-marked seams (no codec libraries in this container): they raise
+NotImplementedError unless `fake=True`, which substitutes a deterministic
+fake so the pipeline shape stays exercisable end-to-end.
 
 Also hosts the rolling-hash (Karp-Rabin) fingerprint as the canonical
 pandas-UDF example (imperative per-byte loop -> Arrow batched).
