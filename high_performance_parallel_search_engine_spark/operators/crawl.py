@@ -107,13 +107,23 @@ class CrawlConfig:
     # write_bucketed_pages); enables partition-pruned fetch scans for small
     # frontiers. None = unbucketed pages.
     pages_buckets: int | None = None
+    # frontiers up to this size push their exact url list into the pages
+    # scan (point-lookup pushdown; see _pushdown_small_frontier). Default
+    # = one JVM-safe In chunk (512): measured the winning regime at bench
+    # scale, where buckets hold single-digit row groups and extra branch
+    # scans cost more than pruning saves (interleaved A/B on the
+    # politeness-stretched long crawl: 40 s without mid-size pushdown vs
+    # 62 s with). Raise toward URL_PUSHDOWN_MAX on corpora whose buckets
+    # span many row groups - the 100 TB regime where O(k)-row-group reads
+    # dominate; any setting stays JVM-safe via <=512-value chunking.
+    url_pushdown_max: int = 512
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in (
             "max_depth", "max_pages", "failure_stop", "max_links_per_page",
             "default_budget", "politeness", "robots", "priority",
             "arbitration", "use_bloom", "max_rounds", "trace",
-            "compact_every", "pages_buckets")}
+            "compact_every", "pages_buckets", "url_pushdown_max")}
 
 
 @dataclass
@@ -278,14 +288,28 @@ def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
 
 
 # frontier sizes up to this push their url list into the pages scan; the
-# collected list is a slim single column (4096 urls ~ 400 KB driver-side),
-# and the gate keeps the IN list under the session's raised
-# parquet.pushdown.inFilterThreshold so the whole list reaches parquet
+# collected list is a slim single column (4096 urls ~ 400 KB driver-side)
 URL_PUSHDOWN_MAX = 4096
+# ...but never as ONE In list: Spark's ParquetFilters lowers
+# In(url, v1..vN) to a LEFT-DEEP binary Or tree (reduceLeft) and
+# parquet-mr evaluates it by recursive visitor - stack depth O(N). A
+# single 4096-value list blew the ~1 MB task stack (StackOverflowError
+# inside FileScanRDD.hasNext, surfacing as scala.MatchError from
+# FileDataSourceV2.attachFilePath and killing the crawl round); 579
+# values ran fine. So the sorted url list is CHUNKED into <=512-value
+# In filters (~300 KB recursion, >3x headroom - a hard JVM-safety bound,
+# not a tuning knob) and the per-chunk scans are unioned. Sorting before
+# chunking makes each chunk a contiguous url range, so each branch scan
+# carries a tight implicit min/max over the url-sorted row groups. The
+# session's parquet.pushdown.inFilterThreshold sits just above the chunk
+# size: each chunk pushes whole, anything accidentally bigger degrades to
+# Spark's safe min/max range instead of a deep Or tree.
+URL_PUSHDOWN_CHUNK = 512
 
 
 def _pushdown_small_frontier(pages: DataFrame, frontier: DataFrame,
-                             state: CrawlState) -> DataFrame:
+                             state: CrawlState,
+                             max_urls: int | None = None) -> DataFrame:
     """Point-lookup pushdown for small rounds: filter the pages table to
     the frontier's exact urls so the predicate reaches the parquet reader
     (PushedFilters: In(url, ...)). On a url-sorted bucket layout
@@ -296,13 +320,25 @@ def _pushdown_small_frontier(pages: DataFrame, frontier: DataFrame,
     BOTH fetch-join forms: the filter keeps every page whose url appears
     in the (pre-gate) frontier, a superset of any fetchset, so inner joins
     lose nothing and the exact path's LEFT join still sees every possible
-    match (absent urls still come back null = failed fetch)."""
-    if not (0 < state.next_frontier_rows <= URL_PUSHDOWN_MAX):
+    match (absent urls still come back null = failed fetch).
+
+    `max_urls` (CrawlConfig.url_pushdown_max) gates the regime; it is
+    clamped to URL_PUSHDOWN_MAX, and any admitted list is chunked to
+    <=URL_PUSHDOWN_CHUNK-value In filters (JVM stack safety)."""
+    cap = min(max_urls if max_urls is not None else URL_PUSHDOWN_MAX,
+              URL_PUSHDOWN_MAX)
+    if not (0 < state.next_frontier_rows <= cap):
         return pages
     urls = [r["url"] for r in frontier.select("url").distinct().collect()]
-    if not urls or len(urls) > URL_PUSHDOWN_MAX:
+    if not urls or len(urls) > cap:
         return pages
-    return pages.where(F.col("url").isin(urls))
+    urls.sort()  # contiguous chunks -> tight min/max per branch scan
+    parts = [pages.where(F.col("url").isin(urls[i:i + URL_PUSHDOWN_CHUNK]))
+             for i in range(0, len(urls), URL_PUSHDOWN_CHUNK)]
+    out = parts[0]
+    for p in parts[1:]:  # disjoint chunks - union adds no duplicates
+        out = out.unionByName(p)
+    return out
 
 
 def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
@@ -330,7 +366,8 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
     pages = _prune_pages_by_bucket(pages, frontier, config, state)
-    pages = _pushdown_small_frontier(pages, frontier, state)
+    pages = _pushdown_small_frontier(pages, frontier, state,
+                                     config.url_pushdown_max)
 
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
     f = apply_robots(f, _robots_df(spark, config))
@@ -454,7 +491,8 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
     pages = _prune_pages_by_bucket(pages, frontier, config, state)
-    pages = _pushdown_small_frontier(pages, frontier, state)
+    pages = _pushdown_small_frontier(pages, frontier, state,
+                                     config.url_pushdown_max)
 
     # ---- gates: validity (silent), robots, politeness ----
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))

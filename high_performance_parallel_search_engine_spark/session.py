@@ -40,8 +40,13 @@ def build_session(app: str = "hppse-spark", master: str | None = None,
         # into the parquet scan (operators/crawl._pushdown_small_frontier);
         # the default threshold (10) would collapse big IN lists to a
         # min/max range, which prunes nothing on hash-distributed urls -
-        # raise it so the whole list reaches the row-group/page-index stats
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "8192")
+        # raise it so the whole list reaches the row-group/page-index stats.
+        # Kept just above URL_PUSHDOWN_MAX (512), NOT higher: parquet-mr
+        # evaluates the lowered left-deep Or tree recursively, and a
+        # 4096-value list overflowed the task stack (see crawl.py's
+        # URL_PUSHDOWN_MAX note); past this threshold Spark's min/max
+        # degradation is the safe behavior, not a missed optimization
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "600")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,139 @@
+"""Evidence-pipeline guards for bench.py (round-3 verdict item 1).
+
+The driver records only the LAST ~2000 characters of bench stdout, so the
+adjudication-critical numbers must fit one compact final line. These tests
+pin the pure helpers that build that line - no Spark session needed:
+
+- the compact line built from a realistic full record stays under the
+  1800-char trim threshold (and the trim path itself stays under 2000),
+- _stage_ratio uses the best (minimum) final-round extract wall observed
+  across a pinning's runs, not just the best-total-wall run's,
+- _crawl_compact keeps the fields speedup_vs_baseline needs next round
+  (threads + "HxPxW" shape string) while dropping the bulky corpus dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _full_crawl_record(threads: int) -> dict:
+    return {
+        "threads": threads,
+        "corpus": {"hosts": 32, "pages_per_host": 6175, "pad_paras": 48},
+        "pages_fetched": 197600,
+        "rounds": 4,
+        "wall_sec": 48.19,
+        "urls_per_sec": 4100.79,
+        "rounds_per_hour": 298.8,
+        "round_walls": [11.537, 6.681, 7.649, 29.182],
+        "round_fetched": [32, 579, 10425, 186564],
+        "stage_walls": [
+            {"extract_write": 10.215, "arbitrate_ckpt": 0.906,
+             "writes_and_metrics": 0.268},
+            {"extract_write": 4.374, "arbitrate_ckpt": 1.782,
+             "writes_and_metrics": 0.376},
+            {"extract_write": 5.147, "arbitrate_ckpt": 1.983,
+             "writes_and_metrics": 0.385},
+            {"extract_write": 27.662, "arbitrate_ckpt": 0.02,
+             "writes_and_metrics": 1.336},
+        ],
+        "ctl": {"before": 0.821, "after": 0.716},
+        "all_walls": [89.8, 73.14, 66.85, 82.4, 48.19],
+        "ctl_reran": 1,
+        "best_extract_wall": 27.662,
+    }
+
+
+def test_stage_ratio_uses_best_extract_wall_across_runs():
+    ceil = {"pages_per_sec": 13352.1}
+    c = _full_crawl_record(32)
+    # best-total-wall run's own final extract stage: 186564/27.662 = 6745/s
+    base = bench._stage_ratio(c, ceil)
+    assert base == round(13352.1 / (186564 / 27.662), 3)
+    # a discarded re-run measured a faster extract stage: the gated metric
+    # must take it (best-vs-best, matching the ceiling side's fastest pick)
+    c["best_extract_wall"] = 15.0
+    improved = bench._stage_ratio(c, ceil)
+    assert improved == round(13352.1 / (186564 / 15.0), 3)
+    assert improved < base
+    # absent the cross-run minimum it falls back to the kept run's stage
+    del c["best_extract_wall"]
+    assert bench._stage_ratio(c, ceil) == base
+
+
+def test_stage_ratio_handles_missing_fields():
+    assert bench._stage_ratio({}, {"pages_per_sec": 100}) is None
+    c = _full_crawl_record(8)
+    assert bench._stage_ratio(c, {}) is None
+
+
+def test_crawl_compact_keeps_comparability_fields():
+    c = bench._crawl_compact(_full_crawl_record(32))
+    assert c["threads"] == 32
+    assert c["shape"] == "32x6175x48"  # speedup_vs_baseline's shape check
+    assert c["urls_per_sec"] == 4100.79
+    assert "corpus" not in c  # the bulky dict lives in bench_full.json
+    assert "stage_walls" not in c
+    assert c["all_walls"] == [89.8, 73.14, 66.85, 82.4, 48.19]
+
+
+def test_compact_line_fits_driver_tail_capture():
+    """Build the exact compact dict main() builds, from a realistic full
+    record (16 headline queries, both pinnings, long + priority crawls),
+    and assert the one stdout line stays under the 1800-char trim
+    threshold - the driver keeps ~2000 chars, and truncation here is what
+    lost round 3's query evidence."""
+    queries = {n: 9.999 for n in bench.HEADLINE}
+    scaling = {
+        "n_small": 8, "n_big": 32,
+        "urls_per_sec_small": 3419.55, "urls_per_sec_big": 4100.79,
+        "efficiency_n_to_4n": 0.3, "workload_ceiling_n_to_4n": 0.728,
+        "efficiency_vs_workload_ceiling": 0.412,
+        "extract_pages_per_sec_small": 4587.0,
+        "extract_pages_per_sec_big": 13352.1,
+        "extract_stage_vs_kernel_big": 1.334,
+        "extract_stage_vs_kernel_small": 0.991,
+        "cpu_scaling_efficiency_n_to_4n": 0.765,
+    }
+    compact = {
+        "metric": "headline_queries_plus_crawl_total",
+        "value": 1247.26, "unit": "sec", "sf": "0.1",
+        "detail": "bench_full.json",
+        "crawl": {"local[32]": bench._crawl_compact(_full_crawl_record(32)),
+                  "local[8]": bench._crawl_compact(_full_crawl_record(8))},
+        "long_crawl": {"rounds": 11, "pages_fetched": 49400,
+                       "wall_sec": 54.27, "urls_per_sec": 910.34,
+                       "compact_every": 4, "fanin_before": 12,
+                       "fanin_after": 4, "rewind_barrier_enforced": True},
+        "crawl_priority": {"mode": "north", "wall_sec": 60.97,
+                           "urls_per_sec": 810.23, "rounds": 11,
+                           "wall_vs_fifo": 1.123},
+        "query_warm": {"serial_ms": 563.2, "openmp_ms": 577.9,
+                       "batch_8q_ms": 1894.4, "aqe_on_ms": 733.1},
+        "speedup_vs_baseline": {"baseline_run": "BENCH_r02.json",
+                                "q_median": 1.05, "q_min": 0.43,
+                                "q_max": 2.94, "crawl_urls_per_sec": 0.95},
+        "queries": queries,
+        "query_phase_control": {"ref": 0.716, "worst_dev": 0.29,
+                                "reran": ["ngram_jaccard_pairs"]},
+        "scaling": scaling,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1800, f"compact line {len(line)} chars"
+    # and the adjudication-critical keys are all present
+    for key in ("queries", "query_phase_control", "scaling", "crawl",
+                "long_crawl", "crawl_priority", "query_warm"):
+        assert key in compact
+
+
+def test_shape_str():
+    assert bench._shape_str({"hosts": 32, "pages_per_host": 6175,
+                             "pad_paras": 48}) == "32x6175x48"
+    assert bench._shape_str(None) is None

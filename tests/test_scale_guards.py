@@ -209,12 +209,36 @@ def test_small_frontier_url_pushdown_reaches_parquet(spark, tmp_path):
     plan = small._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert scan_lines and any("In(url" in ln for ln in scan_lines)
-    # the session's raised inFilterThreshold keeps a multi-hundred-value
-    # list pushable (the default 10 would degrade it to a min/max range)
+    # the session's raised inFilterThreshold keeps a chunk-sized list
+    # pushable (the default 10 would degrade it to a min/max range)
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        URL_PUSHDOWN_CHUNK,
+    )
     assert int(spark.conf.get(
-        "spark.sql.parquet.pushdown.inFilterThreshold")) >= URL_PUSHDOWN_MAX
+        "spark.sql.parquet.pushdown.inFilterThreshold")) >= URL_PUSHDOWN_CHUNK
+    # JVM-safety bound: parquet-mr evaluates the lowered left-deep Or tree
+    # recursively (stack depth O(N)); a single 4096-url In overflowed the
+    # ~1 MB task stack in the round-4 bench (StackOverflowError in
+    # FileScanRDD). 512 keeps ~3x headroom - do not raise without
+    # re-measuring; bigger frontiers must go through the chunked union.
+    assert URL_PUSHDOWN_CHUNK <= 512
     # semantics: the filter keeps exactly the frontier's pages
     assert small.count() == 3
+
+    # a frontier above the chunk size splits into a union of bounded-depth
+    # In scans - every branch's filter reaches parquet, none exceeds the
+    # chunk cap (the JVM-safe Or-tree depth)
+    n_mid = URL_PUSHDOWN_CHUNK + 7
+    fr_mid = spark.createDataFrame(
+        [(page_url(0, i),) for i in range(n_mid)], "url string")
+    mid = _pushdown_small_frontier(pages, fr_mid,
+                                   CrawlState(next_frontier_rows=n_mid))
+    mid_plan = mid._jdf.queryExecution().executedPlan().toString()
+    mid_scans = [ln for ln in mid_plan.splitlines() if "PushedFilters" in ln]
+    assert len(mid_scans) == 2 and all("In(url" in ln for ln in mid_scans)
+    # pages_per_host=40 in this corpus: only 40+40 urls actually exist, and
+    # the two disjoint chunks must not double-count any of them
+    assert mid.count() == mid.select("url").distinct().count()
 
     big = _pushdown_small_frontier(
         pages, fr, CrawlState(next_frontier_rows=URL_PUSHDOWN_MAX + 1))
