@@ -133,6 +133,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.bucket").alias("bucket"))
+    # materialize the slim bucket table ONCE: downstream it feeds the
+    # hot-bucket aggregation, the anti-join and BOTH sides of the
+    # self-join - without the checkpoint Catalyst re-runs the whole
+    # shingle+signature pipeline per branch (measured: 4 corpus scans,
+    # 0 reused exchanges). Lazy local checkpoint = computed at first
+    # action, blocks GC-freed with the DataFrame; a production run on
+    # durable storage would use reliable checkpoint instead.
+    buckets = buckets.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (buckets.groupBy("band", "bucket")
                .agg(F.count("*").alias("_n"))
@@ -188,15 +196,19 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.8,
     minhash_lsh_pairs bounds within-bucket pair blowup."""
     from .similarity import hyperplane_lsh_buckets, int_dot, quant_col
 
+    # slim (vec_id, bucket) table materialized once - feeds the hot-bucket
+    # agg, the anti-join and the candidate join (see minhash_lsh_pairs)
     buckets = hyperplane_lsh_buckets(embeddings, n_planes=n_planes,
-                                     id_col=id_col, vec_col=vec_col)
+                                     id_col=id_col, vec_col=vec_col) \
+        .localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (buckets.groupBy("bucket").agg(F.count("*").alias("_n"))
                .where(F.col("_n") > max_bucket_size).select("bucket"))
         buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     wb = (embeddings.select(F.col(id_col).alias("vec_id"),
                             quant_col(F.col(vec_col)).alias("v"))
-          .join(buckets, "vec_id"))
+          .join(buckets, "vec_id")
+          .localCheckpoint(eager=False))  # reused by both join sides
     a = wb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
                   "bucket")
     b = wb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
@@ -226,7 +238,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     a true Jaccard on that universe (standard stop-shingle removal). The
     hot-shingle list is tiny, so the exclusion is a broadcast anti-join.
     None disables the cap."""
-    sh = doc_shingles(docs, id_col, text_col, k).distinct()
+    # one shingle pass: the distinct (doc, shingle) set feeds the hot-df
+    # aggregation, the per-doc sizes AND both sides of the inverted-index
+    # self-join - checkpoint or pay ~4 corpus scans (see minhash_lsh_pairs)
+    sh = doc_shingles(docs, id_col, text_col, k).distinct() \
+        .localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                .where(F.col("_df") > max_shingle_df).select("shingle"))

@@ -91,16 +91,25 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 12,
     search touches only same-bucket (or neighboring-bucket) rows instead of
     the full corpus - the standard ANN scale path.
     """
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        hyperplane_bucket_col(F.col(vec_col), n_planes, dim, seed)
+        .alias("bucket"))
+
+
+def hyperplane_bucket_col(vec, n_planes: int = 12, dim: int = 64,
+                          seed: int = 42):
+    """The sign-LSH bucket as a pure Column over the embedding - usable in
+    the same scan that reads the vector (no join needed to attach it)."""
     planes = lsh_planes(n_planes, dim, seed)
-    v = quant_col(F.col(vec_col))
+    v = quant_col(vec)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         arr = F.array(*[F.lit(x).cast("long") for x in plane])
         dot = int_dot(v, arr)
         bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")) \
             .otherwise(F.lit(0))
-    return embeddings.select(F.col(id_col).alias("vec_id"),
-                             bucket.alias("bucket"))
+    return bucket
 
 
 def ivf_centroids(n_lists: int = 16, dim: int = 64,
@@ -319,15 +328,25 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                     n_planes: int = 8, **kw) -> DataFrame:
     """ANN: exact cosine, but only within matching LSH buckets (recall < 1
-    by design; the scale path). Same output shape as cosine_topk."""
-    buckets = hyperplane_lsh_buckets(embeddings, n_planes=n_planes, **kw)
-    with_b = embeddings.join(buckets, embeddings["vec_id"] == buckets["vec_id"]) \
-        .select(embeddings["vec_id"], "embedding", "bucket")
+    by design; the scale path). Same output shape as cosine_topk.
+
+    ONE corpus pass: the bucket is a pure Column computed in the same scan
+    that reads the vector (hyperplane_bucket_col - no self-join to attach
+    it), and the bucketed+quantized table is checkpointed once for the
+    query and candidate sides (previously 4 corpus scans)."""
+    id_col = kw.get("id_col", "vec_id")
+    vec_col = kw.get("vec_col", "embedding")
+    with_b = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        quant_col(F.col(vec_col)).alias("v"),
+        hyperplane_bucket_col(F.col(vec_col), n_planes,
+                              kw.get("dim", 64), kw.get("seed", 42))
+        .alias("bucket")).localCheckpoint(eager=False)
     q = (with_b.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("query_id"),
-                 quant_col(F.col("embedding")).alias("qv"), "bucket"))
+                 F.col("v").alias("qv"), "bucket"))
     c = with_b.select(F.col("vec_id").alias("neighbor_id"),
-                      quant_col(F.col("embedding")).alias("cv"), "bucket")
+                      F.col("v").alias("cv"), "bucket")
     dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
     nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
     nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))

@@ -243,3 +243,45 @@ def test_small_frontier_url_pushdown_reaches_parquet(spark, tmp_path):
     big = _pushdown_small_frontier(
         pages, fr, CrawlState(next_frontier_rows=URL_PUSHDOWN_MAX + 1))
     assert big is pages  # gate skipped - no collect, no filter
+
+
+def test_pair_operators_scan_corpus_once(spark, tmp_path):
+    """The pair family (minhash LSH, ngram Jaccard, cosine near-dup, LSH
+    top-k) branches its expensive base table into a hot-key aggregation,
+    an anti-join and a self-join. Without a checkpoint at the branch
+    point Catalyst re-derives the base per branch - measured 4 full
+    corpus scans per query before round 4. Guard: the executed plan
+    contains ZERO direct scans of the source parquet (the single scan
+    happens inside the lazily-materialized checkpoint)."""
+    from high_performance_parallel_search_engine_spark.operators.dedup import (
+        cosine_near_dup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from high_performance_parallel_search_engine_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7}")
+         for i in range(40)], "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs.parquet"))
+    emb = spark.createDataFrame(
+        [(i, [float((i * 31 + j * 7) % 13 - 6) for j in range(64)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    emb.write.mode("overwrite").parquet(str(tmp_path / "emb.parquet"))
+    docs_p = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    emb_p = spark.read.parquet(str(tmp_path / "emb.parquet"))
+
+    cases = {
+        "minhash_lsh_pairs": minhash_lsh_pairs(docs_p),
+        "ngram_jaccard_pairs": ngram_jaccard_pairs(docs_p),
+        "cosine_near_dup_pairs": cosine_near_dup_pairs(emb_p),
+        "lsh_cosine_topk": lsh_cosine_topk(emb_p, query_ids=[1, 2]),
+    }
+    for name, df in cases.items():
+        df.count()  # materializes the checkpoint + executes the plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for src in ("docs.parquet", "emb.parquet"):
+            assert plan.count(src) == 0, \
+                f"{name}: {plan.count(src)} direct scans of {src}"
