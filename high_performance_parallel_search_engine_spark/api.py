@@ -157,15 +157,16 @@ class EngineState:
     def _build_index(self):
         from pyspark.sql import functions as F
 
-        from .operators.index import build_doc_stats, build_postings
-
-        from .operators.index import term_df
+        from .operators.index import build_index_tables, term_df
 
         docs = (self.spark.read
                 .parquet(f"{self.workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
-        postings = build_postings(docs).cache()
-        stats = build_doc_stats(docs).cache()
+        # one tokenization pass builds both tables (stats derive from the
+        # checkpointed postings), then both are cached for serving
+        postings, stats = build_index_tables(docs)
+        postings = postings.cache()
+        stats = stats.cache()
         total = stats.count()
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)

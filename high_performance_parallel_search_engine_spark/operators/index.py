@@ -62,6 +62,21 @@ def build_doc_stats(docs: DataFrame, **kw) -> DataFrame:
             .groupBy("doc_id").agg(F.count("*").alias("dl")))
 
 
+def build_index_tables(docs: DataFrame, **kw) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc_stats) from ONE tokenization pass: postings is
+    lazily local-checkpointed and document lengths derive from it
+    (dl = sum(tf) per doc == count of kept tokens, exactly
+    build_doc_stats' value). Without this, a cold BM25 query tokenizes
+    the corpus separately for postings, for doc_stats, and again for
+    each corpus-stats action - the tokenize+explode is the expensive
+    part, so sharing it is the difference between one corpus pass and
+    four. The checkpoint blocks are GC-freed with the DataFrames; a
+    persistent index (the dashboard path) caches these tables instead."""
+    postings = build_postings(docs, **kw).localCheckpoint(eager=False)
+    stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return postings, stats
+
+
 def corpus_stats(docs: DataFrame, **kw) -> DataFrame:
     """One row: total_tokens, unique_terms, total_docs, avg_dl."""
     toks = doc_tokens(docs, **kw)

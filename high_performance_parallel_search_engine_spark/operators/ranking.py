@@ -103,12 +103,16 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     (EngineState/api.py). Results are identical; without it the df
     aggregation runs inline (the cold / gate-checked path)."""
     spark = postings.sparkSession
-    if total_docs is None:
-        total_docs = doc_stats.count()
+    if total_docs is None or avg_dl is None:
+        # one job for both corpus stats (doc_stats has one row per doc)
+        row = doc_stats.agg(F.count("*").alias("n"),
+                            F.sum("dl").alias("s")).collect()[0]
+        if total_docs is None:
+            total_docs = row["n"]
+        if avg_dl is None:
+            avg_dl = (row["s"] or 0) / total_docs if total_docs else 0.0
     if total_docs == 0:
         return spark.createDataFrame([], "doc_id long, score double")
-    if avg_dl is None:
-        avg_dl = (doc_stats.agg(F.sum("dl")).collect()[0][0] or 0) / total_docs
 
     terms = query_terms(query, stopwords)
     if not terms:
@@ -191,14 +195,18 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
     thousand - the batch-scoring shape of the reference's GPU variant
     (Super Hybrid Version/src/cuda_kernels.cu:211-321) on the JVM."""
     spark = postings.sparkSession
-    if total_docs is None:
-        total_docs = doc_stats.count()
+    if total_docs is None or avg_dl is None:
+        # one job for both corpus stats (doc_stats has one row per doc)
+        row = doc_stats.agg(F.count("*").alias("n"),
+                            F.sum("dl").alias("s")).collect()[0]
+        if total_docs is None:
+            total_docs = row["n"]
+        if avg_dl is None:
+            avg_dl = (row["s"] or 0) / total_docs if total_docs else 0.0
     empty = spark.createDataFrame(
         [], "query_id int, doc_id long, score double, rk int")
     if total_docs == 0:
         return empty
-    if avg_dl is None:
-        avg_dl = (doc_stats.agg(F.sum("dl")).collect()[0][0] or 0) / total_docs
 
     cands = []
     for qid, query in enumerate(queries):

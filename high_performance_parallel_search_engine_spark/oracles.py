@@ -527,8 +527,7 @@ ORDER BY round(SUM(part), 4) DESC, doc_id LIMIT 10"""
 @q("bm25_topk", ORACLE_BM25)
 def q_bm25_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    postings = IX.build_postings(docs)
-    stats = IX.build_doc_stats(docs)
+    postings, stats = IX.build_index_tables(docs)
     out = RK.rank_bm25(postings, stats, BM25_QUERY, top_k=10)
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
@@ -630,8 +629,7 @@ SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= 5"""
 @q("bm25_eval_batch", ORACLE_BM25_EVAL)
 def q_bm25_eval_batch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    postings = IX.build_postings(docs)
-    stats = IX.build_doc_stats(docs)
+    postings, stats = IX.build_index_tables(docs)
     out = RK.rank_bm25_batch(postings, stats, EVAL_QUERIES, top_k=5)
     return out.select("query_id", "doc_id",
                       F.round("score", 4).alias("score"), "rk")
@@ -640,8 +638,7 @@ def q_bm25_eval_batch(spark, sf_dir):
 @q("bm25_fallback_topk", ORACLE_BM25_FB)
 def q_bm25_fallback_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    postings = IX.build_postings(docs)
-    stats = IX.build_doc_stats(docs)
+    postings, stats = IX.build_index_tables(docs)
     out = RK.rank_bm25(postings, stats, BM25_FB_QUERY, top_k=10,
                        fallback=True)
     return out.select("doc_id", F.round("score", 4).alias("score"))
