@@ -332,13 +332,48 @@ def _pushdown_small_frontier(pages: DataFrame, frontier: DataFrame,
     urls = [r["url"] for r in frontier.select("url").distinct().collect()]
     if not urls or len(urls) > cap:
         return pages
-    urls.sort()  # contiguous chunks -> tight min/max per branch scan
+    return _chunked_url_filter(pages, urls)
+
+
+def _chunked_url_filter(pages: DataFrame, urls: list[str]) -> DataFrame:
+    urls = sorted(urls)  # contiguous chunks -> tight min/max per branch
     parts = [pages.where(F.col("url").isin(urls[i:i + URL_PUSHDOWN_CHUNK]))
              for i in range(0, len(urls), URL_PUSHDOWN_CHUNK)]
     out = parts[0]
     for p in parts[1:]:  # disjoint chunks - union adds no duplicates
         out = out.unionByName(p)
     return out
+
+
+def _prune_and_pushdown(pages: DataFrame, frontier: DataFrame,
+                        config: CrawlConfig, state: CrawlState) -> DataFrame:
+    """Bucket pruning + point-lookup pushdown with ONE driver job: when the
+    frontier is small enough for the url pushdown, a single distinct
+    collect yields both the url list and the bucket set (bucket is a
+    function of url), instead of the two separate jobs the standalone
+    gates would run - one less per-round sync point on exactly the small
+    rounds where fixed costs dominate the wall. Falls back to the
+    standalone gates when only one regime applies. Semantics identical to
+    applying _prune_pages_by_bucket then _pushdown_small_frontier."""
+    B = config.pages_buckets if "bucket" in pages.columns else None
+    cap = min(config.url_pushdown_max, URL_PUSHDOWN_MAX)
+    n = state.next_frontier_rows
+    want_push = 0 < n <= cap
+    want_prune = bool(B) and 0 < n <= 4 * B
+    if not (want_push and want_prune):
+        pages = _prune_pages_by_bucket(pages, frontier, config, state)
+        return _pushdown_small_frontier(pages, frontier, state,
+                                        config.url_pushdown_max)
+    rows = (frontier.select(
+        "url", F.pmod(F.xxhash64("url"), F.lit(B)).cast("int").alias("b"))
+        .distinct().collect())
+    bks = sorted({r["b"] for r in rows})
+    if len(bks) < B:
+        pages = pages.where(F.col("bucket").isin(bks))
+    urls = sorted({r["url"] for r in rows})
+    if urls and len(urls) <= cap:
+        pages = _chunked_url_filter(pages, urls)
+    return pages
 
 
 def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
@@ -365,9 +400,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
-    pages = _prune_pages_by_bucket(pages, frontier, config, state)
-    pages = _pushdown_small_frontier(pages, frontier, state,
-                                     config.url_pushdown_max)
+    pages = _prune_and_pushdown(pages, frontier, config, state)
 
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
     f = apply_robots(f, _robots_df(spark, config))
@@ -490,9 +523,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
-    pages = _prune_pages_by_bucket(pages, frontier, config, state)
-    pages = _pushdown_small_frontier(pages, frontier, state,
-                                     config.url_pushdown_max)
+    pages = _prune_and_pushdown(pages, frontier, config, state)
 
     # ---- gates: validity (silent), robots, politeness ----
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
