@@ -285,3 +285,58 @@ def test_pair_operators_scan_corpus_once(spark, tmp_path):
         for src in ("docs.parquet", "emb.parquet"):
             assert plan.count(src) == 0, \
                 f"{name}: {plan.count(src)} direct scans of {src}"
+
+
+def test_prune_and_pushdown_equals_sequential_gates(spark, tmp_path):
+    """_prune_and_pushdown (one driver job) must keep exactly the pages the
+    standalone bucket-prune + url-pushdown sequence keeps, in all four
+    regimes: both gates active, prune-only (frontier above the pushdown
+    cap), pushdown-only (unbucketed table), neither (big frontier)."""
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig,
+        CrawlState,
+        _prune_and_pushdown,
+        _prune_pages_by_bucket,
+        _pushdown_small_frontier,
+    )
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df,
+        page_url,
+    )
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        read_bucketed_pages,
+        write_bucketed_pages,
+    )
+
+    df = build_corpus_df(spark, n_hosts=2, pages_per_host=40, n_medium=0,
+                         with_oracle_text=False)
+    write_bucketed_pages(df.select("url", "warc_ts", "html", "lang"),
+                         str(tmp_path / "p"), n_buckets=8)
+    bucketed, nb = read_bucketed_pages(spark, str(tmp_path / "p"))
+    flat = spark.read.parquet(str(tmp_path / "p"))  # has bucket col too
+
+    def urls_of(pages):
+        return sorted(r["url"] for r in pages.select("url").collect())
+
+    fr = spark.createDataFrame([(page_url(h, i),) for h in range(2)
+                                for i in range(5)], "url string")
+    cases = [
+        # (config, frontier rows, pages table) -> regime
+        (CrawlConfig(pages_buckets=nb), 10, bucketed),     # both gates
+        (CrawlConfig(pages_buckets=nb, url_pushdown_max=4), 10, bucketed),
+        # ^ prune-only: frontier above the pushdown cap
+        (CrawlConfig(pages_buckets=None), 10, bucketed),   # pushdown-only
+        (CrawlConfig(pages_buckets=nb), 10_000, bucketed),  # neither
+    ]
+    for cfg, n, pages in cases:
+        st = CrawlState(next_frontier_rows=n)
+        combined = _prune_and_pushdown(pages, fr, cfg, st)
+        seq = _prune_pages_by_bucket(pages, fr, cfg, st)
+        seq = _pushdown_small_frontier(seq, fr, st, cfg.url_pushdown_max)
+        assert urls_of(combined) == urls_of(seq), (cfg.pages_buckets,
+                                                   cfg.url_pushdown_max, n)
+    # the both-gates regime actually filters down to the frontier's pages
+    st = CrawlState(next_frontier_rows=10)
+    both = _prune_and_pushdown(bucketed, fr, CrawlConfig(pages_buckets=nb),
+                               st)
+    assert both.count() == 10
