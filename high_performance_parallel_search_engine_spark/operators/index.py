@@ -77,6 +77,29 @@ def build_index_tables(docs: DataFrame, **kw) -> tuple[DataFrame, DataFrame]:
     return postings, stats
 
 
+def merge_postings(old_postings: DataFrame, delta_docs: DataFrame,
+                   **kw) -> DataFrame:
+    """Incremental index maintenance: postings after a crawl round lands
+    delta_docs, WITHOUT re-tokenizing the old corpus. Re-crawled docs
+    REPLACE their old postings (new page version wins - the reference
+    rebuilds its whole index per crawl, index.c:69-114; this is the
+    O(delta) form that replaces full rebuilds at 10^10-doc scale):
+
+      kept  = old_postings anti-join (delta doc_ids)   # slim id set
+      merged = kept UNION tokenize(delta_docs)
+
+    Only the delta crosses the tokenizer; the anti-join key set is
+    |delta| doc_ids - the planner broadcasts it when a round's delta is
+    small, and AQE falls back to a shuffled anti-join for huge deltas.
+    Verified by the postings_incremental gate: merge over a round-split
+    corpus value-hashes equal to a full rebuild over the union."""
+    delta = build_postings(delta_docs, **kw)
+    changed = delta_docs.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id")).distinct()
+    kept = old_postings.join(changed, "doc_id", "left_anti")
+    return kept.unionByName(delta.select(*kept.columns))
+
+
 def corpus_stats(docs: DataFrame, **kw) -> DataFrame:
     """One row: total_tokens, unique_terms, total_docs, avg_dl."""
     toks = doc_tokens(docs, **kw)

@@ -480,6 +480,25 @@ def q_doc_lengths(spark, sf_dir):
     return IX.build_doc_stats(_t(spark, sf_dir, "documents"))
 
 
+# Incremental index maintenance: the "old" index covers doc_id % 5 != 0
+# PLUS a stale copy of the % 5 == 0 docs (extra 'staleversion' tokens - a
+# previous page version); the delta re-crawls the % 5 == 0 docs. The merge
+# must (a) tokenize only the delta, (b) REPLACE the stale postings (the
+# 'staleversion' terms must vanish). Oracle: a plain full rebuild over the
+# current corpus - value-hash equality proves incremental maintenance ==
+# full rebuild including the replace semantics.
+@q("postings_incremental", TOK_CTE + """
+SELECT term, doc_id, COUNT(*) AS tf FROM kept GROUP BY term, doc_id""")
+def q_postings_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    stale = delta.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" staleversion staleversion")))
+    old_corpus = docs.where(F.col("doc_id") % 5 != 0).unionByName(stale)
+    old_postings = IX.build_postings(old_corpus)
+    return IX.merge_postings(old_postings, delta)
+
+
 @q("corpus_stats", TOK_CTE + """
 SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT term) AS unique_terms,
        COUNT(DISTINCT doc_id) AS total_docs,

@@ -500,3 +500,32 @@ def test_connected_components_and_survivors(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup_survivors(docs, comp).select("doc_id").collect())
     assert kept == [0, 3, 4, 6, 7]
+
+
+def test_merge_postings_replaces_recrawled_docs(spark):
+    """Incremental index maintenance: a re-crawled doc's old postings are
+    REPLACED (new page version wins), untouched docs keep theirs, and only
+    the delta is tokenized (the old side enters as a postings table, not
+    as text)."""
+    from high_performance_parallel_search_engine_spark.operators.index import (
+        build_postings,
+        merge_postings,
+    )
+
+    old_corpus = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta oldword")],
+        "doc_id long, text string")
+    old_postings = build_postings(old_corpus)
+    delta = spark.createDataFrame([(2, "gamma gamma newword")],
+                                  "doc_id long, text string")
+    merged = {(r["term"], r["doc_id"]): r["tf"]
+              for r in merge_postings(old_postings, delta).collect()}
+    assert merged[("alpha", 1)] == 1 and merged[("beta", 1)] == 2  # kept
+    assert merged[("gamma", 2)] == 2 and merged[("newword", 2)] == 1
+    assert ("oldword", 2) not in merged          # stale version replaced
+    assert ("delta", 2) not in merged
+    # equivalence with a full rebuild over the current corpus
+    current = old_corpus.where("doc_id != 2").unionByName(delta)
+    full = {(r["term"], r["doc_id"]): r["tf"]
+            for r in build_postings(current).collect()}
+    assert merged == full
