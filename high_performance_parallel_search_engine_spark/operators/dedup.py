@@ -89,18 +89,55 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def phash32_col(s: Column) -> Column:
+    """32-bit base hash for the minhash permutation family:
+    int(md5(s)[:8], 16)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def phash32_sql(expr: str) -> str:
+    """The DuckDB-side rendering of phash32_col."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+# universal-hash permutation family over the 32-bit base (the datasketch
+# construction): mh_j = min((A_j*h + B_j) mod P). P is the first prime
+# above 2^32; A_j < 2^30 keeps A_j*h < 2^62 - exact signed-64 math in
+# both Spark and DuckDB. Constants are seeded so any engine regenerates
+# (or inlines) the same integers - this is what keeps the minhash gates
+# oracle-checkable.
+MH_PRIME = 4294967311
+
+
+def mh_coeffs(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
+    import random
+
+    out = []
+    for j in range(num_perm):
+        rng = random.Random(f"mh:{j}")
+        out.append((rng.randrange(1, 1 << 30), rng.randrange(0, MH_PRIME)))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): one explode + one grouped aggregation with
-    num_perm min() columns - the signature computes in a single shuffle."""
+    num_perm min() columns - the signature computes in a single shuffle.
+
+    Permutation family: ONE md5 per shingle (32-bit base), then
+    mh_j = min((A_j*h + B_j) mod P) with seeded per-j constants - proper
+    independent universal-hash permutations at 1/12th the hashing cost of
+    the naive per-j salted-md5 form (hashing dominates the signature
+    stage at corpus scale)."""
     sh = doc_shingles(docs, id_col, text_col)
+    hashed = sh.select("doc_id", phash32_col(F.col("shingle")).alias("h"))
     aggs = [
-        F.min(phash_col(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME))
         .alias(f"mh_{j}")
-        for j in range(num_perm)
+        for j, (a, b) in enumerate(mh_coeffs(num_perm))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 MAX_BUCKET_SIZE = 10_000

@@ -820,17 +820,24 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def _mh_min_sql(j: int) -> str:
-    salted = "'" + str(j) + ":' || shingle"
-    return f"MIN({D.phash_sql(salted)}) AS mh_{j}"
+# universal-hash minwise family (see dedup.minhash_signatures): one
+# 32-bit base hash per shingle, mh_j = MIN((A_j*h + B_j) % P) with the
+# same seeded constants inlined as literals - mirrors the Spark columns
+MH_HASHED_CTE = f"""
+, mh_hashed AS (
+  SELECT doc_id, {D.phash32_sql('shingle')} AS h
+  FROM shingles
+)
+"""
+
+_MH_MINS_SQL = ",\n       ".join(
+    f"MIN(({a} * h + {b}) % {D.MH_PRIME}) AS mh_{j}"
+    for j, (a, b) in enumerate(D.mh_coeffs()))
 
 
-_MH_MINS_SQL = ",\n       ".join(_mh_min_sql(j) for j in range(D.NUM_PERM))
-
-
-@q("minhash_signatures", SHINGLE_CTE + f"""
+@q("minhash_signatures", SHINGLE_CTE + MH_HASHED_CTE + f"""
 SELECT doc_id, {_MH_MINS_SQL}
-FROM shingles GROUP BY doc_id""")
+FROM mh_hashed GROUP BY doc_id""")
 def q_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures(_t(spark, sf_dir, "documents"))
 
@@ -846,10 +853,10 @@ _BAND_UNION_SQL = " UNION ALL ".join(
     for b in range(D.LSH_BANDS))
 
 
-@q("minhash_lsh_pairs", SHINGLE_CTE + f"""
+@q("minhash_lsh_pairs", SHINGLE_CTE + MH_HASHED_CTE + f"""
 , sigraw AS (
   SELECT doc_id, {_MH_MINS_SQL}
-  FROM shingles GROUP BY doc_id
+  FROM mh_hashed GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, {_BAND_KEYS_SQL} FROM sigraw
 ), rawbuckets AS ({_BAND_UNION_SQL}),
@@ -873,10 +880,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 # closure + MIN over reachable ids) over the minhash-LSH edge set -
 # iterative on one engine, recursive on the other, identical labels.
 ORACLE_DEDUP_COMPONENTS = (
-    SHINGLE_CTE.replace("WITH raw", "WITH RECURSIVE raw", 1) + f"""
+    SHINGLE_CTE.replace("WITH raw", "WITH RECURSIVE raw", 1)
+    + MH_HASHED_CTE + f"""
 , sigraw AS (
   SELECT doc_id, {_MH_MINS_SQL}
-  FROM shingles GROUP BY doc_id
+  FROM mh_hashed GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, {_BAND_KEYS_SQL} FROM sigraw
 ), rawbuckets AS ({_BAND_UNION_SQL}),
