@@ -275,11 +275,19 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     a true Jaccard on that universe (standard stop-shingle removal). The
     hot-shingle list is tiny, so the exclusion is a broadcast anti-join.
     None disables the cap."""
-    # one shingle pass: the distinct (doc, shingle) set feeds the hot-df
-    # aggregation, the per-doc sizes AND both sides of the inverted-index
+    # shingles collapse to 60-bit hashes BEFORE the distinct: every
+    # downstream shuffle and the inverted-index self-join then move 8-byte
+    # keys instead of ~30-byte strings. Both engines hash identically
+    # (phash), so the measure is exact Jaccard over the hashed shingle
+    # universe - a 2^-60 collision would fold two shingles on BOTH sides
+    # equally, keeping the gate value-exact.
+    #
+    # one shingle pass: the distinct (doc, shingle-hash) set feeds the
+    # hot-df aggregation, the per-doc sizes AND both sides of the
     # self-join - checkpoint or pay ~4 corpus scans (see minhash_lsh_pairs)
-    sh = doc_shingles(docs, id_col, text_col, k).distinct() \
-        .localCheckpoint(eager=False)
+    sh = (doc_shingles(docs, id_col, text_col, k)
+          .select("doc_id", phash_col(F.col("shingle")).alias("shingle"))
+          .distinct().localCheckpoint(eager=False))
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                .where(F.col("_df") > max_shingle_df).select("shingle"))

@@ -938,8 +938,9 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
-@q("ngram_jaccard_pairs", SHINGLE_CTE + """
-, dshraw AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+@q("ngram_jaccard_pairs", SHINGLE_CTE + f"""
+, dshraw AS (SELECT DISTINCT doc_id,
+                    {D.phash_sql('shingle')} AS shingle FROM shingles),
 dsh AS (
   SELECT doc_id, shingle FROM dshraw
   QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= """ + str(D.MAX_SHINGLE_DF) + """
