@@ -340,3 +340,34 @@ def test_prune_and_pushdown_equals_sequential_gates(spark, tmp_path):
     both = _prune_and_pushdown(bucketed, fr, CrawlConfig(pages_buckets=nb),
                                st)
     assert both.count() == 10
+
+
+def test_minhash_family_candidate_quality(spark):
+    """Permutation-family quality guard: on a corpus of distinct docs plus
+    one true near-dup pair, LSH candidates must contain the dup pair and
+    NOT explode with false positives. A correlated family (e.g. the
+    additive h1 + j*h2 construction trialled in round 4) shares argmins
+    across the permutations inside a band, inflating spurious bucket
+    collisions ~7x - this test rejects such a family."""
+    from high_performance_parallel_search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rows = []
+    for i in range(80):  # distinct docs: disjoint-ish word windows
+        ws = [words[(i * 3 + j) % len(words)] + str(i * 7 + j)
+              for j in range(12)]
+        rows.append((i, " ".join(ws)))
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows.append((1000, base))
+    rows.append((1001, base + " extra"))  # near-dup of 1000
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs).collect()]
+    assert (1000, 1001) in pairs          # recall: the true near-dup found
+    # precision: distinct docs share no shingles - any other pair is a
+    # family artifact; allow a couple of flukes, reject an explosion
+    assert len(pairs) <= 3, f"family produced {len(pairs)} candidate pairs"
