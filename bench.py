@@ -48,7 +48,8 @@ HEADLINE = [
     "url_normalize", "url_valid", "postings", "bm25_topk", "per_parent_cap",
     "sessionize", "lineitem_agg", "nation_revenue_topk", "dedup_exact",
     "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs", "cosine_topk",
-    "lang_id", "quality_score", "token_counts",
+    "lang_id", "quality_score", "token_counts", "dedup_components",
+    "postings_incremental",
 ]
 
 # crawl bench corpus shape (generated distributed, no oracle text).
