@@ -719,12 +719,17 @@ def main() -> None:
         "scaling": scaling,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # last-ditch trims, least-critical first
-        for lvl in compact["crawl"].values():
+    if len(line) > 1800:  # trim cascade, least-critical first (all fields
+        for lvl in compact["crawl"].values():  # live on in bench_full.json)
             lvl.pop("all_walls", None)
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:
-        compact.pop("query_phase_control", None)
+    if len(line) > 1800:  # pages_fetched is implied by the corpus shape
+        for lvl in compact["crawl"].values():
+            lvl.pop("pages_fetched", None)
+        compact["long_crawl"].pop("pages_fetched", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # last resort only - controls/warm latency are
+        compact.pop("query_phase_control", None)  # adjudication evidence
         compact.pop("query_warm", None)
         line = json.dumps(compact, separators=(",", ":"))
     shutil.rmtree(corpus_path, ignore_errors=True)
