@@ -345,6 +345,21 @@ def _chunked_url_filter(pages: DataFrame, urls: list[str]) -> DataFrame:
     return out
 
 
+def _coalesce_small_round(df: DataFrame, state: CrawlState) -> DataFrame:
+    """Cap task fan-out on small rounds: a 32-url round otherwise schedules
+    one extraction task per pruned bucket file (each paying a Python-worker
+    Arrow round-trip of a near-empty batch) and commits that many parquet
+    files. Coalesce (no shuffle - html bytes stay in place) to ~1 task per
+    128 frontier urls, so tiny rounds run 2-4 tasks. Big rounds (> 4096)
+    keep full scan parallelism. Row content is untouched; only task count
+    and output-file count (and thus the informational lineage_partition
+    ids) change."""
+    n = state.next_frontier_rows
+    if not (0 < n <= 4096):
+        return df
+    return df.coalesce(max(2, n // 128))
+
+
 def _prune_and_pushdown(pages: DataFrame, frontier: DataFrame,
                         config: CrawlConfig, state: CrawlState) -> DataFrame:
     """Bucket pruning + point-lookup pushdown with ONE driver job: when the
@@ -424,6 +439,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
         (F.length("html") > 100) & is_html_content_url_col(F.col("url")))
     succ = succ.withColumn("_skip_links",
                            F.col("depth") >= F.lit(config.max_depth))
+    succ = _coalesce_small_round(succ, state)
     extracted = html_text_and_links(succ, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")
                  .withColumn("lineage_partition", F.spark_partition_id()))
@@ -660,6 +676,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     if 0 < state.next_frontier_rows <= 3_000_000:
         succ = F.broadcast(succ)
     enriched = succ.join(pages.select("url", "html", "warc_ts", "lang"), "url")
+    enriched = _coalesce_small_round(enriched, state)
     extracted = html_text_and_links(enriched, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")  # never checkpoint raw bytes
                  .withColumn("lineage_partition", F.spark_partition_id()))
