@@ -143,7 +143,7 @@ def phase_queries(spark) -> tuple[dict[str, float], dict]:
         # operator, not JVM/session/codegen spin-up (round-1 verdict:
         # url_normalize's 5.2 s was warmup). Must NOT itself be a HEADLINE
         # query, else that query's timing is self-warmed and biased low.
-        QUERIES["url_base_domain"](spark, SF_DIR).count()
+        QUERIES["url_priority"](spark, SF_DIR).count()
         for name in HEADLINE:
             fn = QUERIES[name]
             walls = []

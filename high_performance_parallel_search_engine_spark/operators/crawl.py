@@ -265,26 +265,48 @@ def _robots_df(spark: SparkSession, config: CrawlConfig) -> DataFrame | None:
                                  "host string, rule string, path_prefix string")
 
 
+def _want_bucket_prune(pages: DataFrame, config: CrawlConfig,
+                       state: CrawlState) -> bool:
+    """SHARED gate predicate (used by the standalone gate and the combined
+    _prune_and_pushdown - one definition, so a threshold change cannot
+    silently diverge between the two paths): bucket pruning is attempted
+    only on a bucket-partitioned table with a frontier small enough
+    (<= 4*B urls) that it plausibly misses buckets."""
+    B = config.pages_buckets
+    return (bool(B) and "bucket" in pages.columns
+            and 0 < state.next_frontier_rows <= 4 * B)
+
+
+def _pushdown_cap(max_urls: int | None) -> int:
+    """SHARED pushdown-cap clamp (see _want_bucket_prune note)."""
+    return min(max_urls if max_urls is not None else URL_PUSHDOWN_MAX,
+               URL_PUSHDOWN_MAX)
+
+
+def _want_url_pushdown(max_urls: int | None, state: CrawlState) -> bool:
+    """SHARED gate predicate for the url In-filter pushdown regime."""
+    return 0 < state.next_frontier_rows <= _pushdown_cap(max_urls)
+
+
 def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
-                           config: CrawlConfig, state: CrawlState) -> DataFrame:
+                           config: CrawlConfig,
+                           state: CrawlState) -> tuple[DataFrame, bool]:
     """Partition-prune a bucket-partitioned pages table (sources/tables.py
     write_bucketed_pages) to the frontier's buckets. Semantics-neutral: a
     pruned page can never match the fetch join (its bucket holds no frontier
     url). Skipped for big frontiers (expected to touch every bucket) so the
     tiny distinct-buckets job only runs when it can actually prune - this is
     what makes a 32-URL round against a 100 TB corpus cost 32 buckets, not a
-    full scan."""
+    full scan. Returns (pages, applied)."""
+    if not _want_bucket_prune(pages, config, state):
+        return pages, False
     B = config.pages_buckets
-    if not B or "bucket" not in pages.columns:
-        return pages
-    if not (0 < state.next_frontier_rows <= 4 * B):
-        return pages  # likely all buckets hit; skip the pruning job
     bks = sorted(r["b"] for r in frontier.select(
         F.pmod(F.xxhash64("url"), F.lit(B)).cast("int").alias("b"))
         .distinct().collect())
     if len(bks) >= B:
-        return pages
-    return pages.where(F.col("bucket").isin(bks))
+        return pages, False
+    return pages.where(F.col("bucket").isin(bks)), True
 
 
 # frontier sizes up to this push their url list into the pages scan; the
@@ -309,7 +331,8 @@ URL_PUSHDOWN_CHUNK = 512
 
 def _pushdown_small_frontier(pages: DataFrame, frontier: DataFrame,
                              state: CrawlState,
-                             max_urls: int | None = None) -> DataFrame:
+                             max_urls: int | None = None
+                             ) -> tuple[DataFrame, bool]:
     """Point-lookup pushdown for small rounds: filter the pages table to
     the frontier's exact urls so the predicate reaches the parquet reader
     (PushedFilters: In(url, ...)). On a url-sorted bucket layout
@@ -324,15 +347,14 @@ def _pushdown_small_frontier(pages: DataFrame, frontier: DataFrame,
 
     `max_urls` (CrawlConfig.url_pushdown_max) gates the regime; it is
     clamped to URL_PUSHDOWN_MAX, and any admitted list is chunked to
-    <=URL_PUSHDOWN_CHUNK-value In filters (JVM stack safety)."""
-    cap = min(max_urls if max_urls is not None else URL_PUSHDOWN_MAX,
-              URL_PUSHDOWN_MAX)
-    if not (0 < state.next_frontier_rows <= cap):
-        return pages
+    <=URL_PUSHDOWN_CHUNK-value In filters (JVM stack safety).
+    Returns (pages, applied)."""
+    if not _want_url_pushdown(max_urls, state):
+        return pages, False
     urls = [r["url"] for r in frontier.select("url").distinct().collect()]
-    if not urls or len(urls) > cap:
-        return pages
-    return _chunked_url_filter(pages, urls)
+    if not urls or len(urls) > _pushdown_cap(max_urls):
+        return pages, False
+    return _chunked_url_filter(pages, urls), True
 
 
 def _chunked_url_filter(pages: DataFrame, urls: list[str]) -> DataFrame:
@@ -345,23 +367,34 @@ def _chunked_url_filter(pages: DataFrame, urls: list[str]) -> DataFrame:
     return out
 
 
-def _coalesce_small_round(df: DataFrame, state: CrawlState) -> DataFrame:
+def _coalesce_small_round(df: DataFrame, state: CrawlState,
+                          scan_bounded: bool) -> DataFrame:
     """Cap task fan-out on small rounds: a 32-url round otherwise schedules
     one extraction task per pruned bucket file (each paying a Python-worker
     Arrow round-trip of a near-empty batch) and commits that many parquet
     files. Coalesce (no shuffle - html bytes stay in place) to ~1 task per
     128 frontier urls, so tiny rounds run 2-4 tasks. Big rounds (> 4096)
-    keep full scan parallelism. Row content is untouched; only task count
-    and output-file count (and thus the informational lineage_partition
-    ids) change."""
+    keep full scan parallelism.
+
+    `scan_bounded` MUST be the flag returned by _prune_and_pushdown: the
+    coalesce premise ('the scan is a handful of pruned bucket files /
+    pushed row groups') only holds when bucket pruning or url pushdown
+    actually bounded the pages scan. Without it (e.g. unbucketed corpus,
+    513-4096-url frontier over the default url_pushdown_max=512) the round
+    joins against the FULL corpus scan, and coalescing that to n//128
+    tasks would serialize a large scan a 100 TB table cannot afford - so
+    we keep full scan parallelism instead (ADVICE r4 #1). Row content is
+    untouched; only task count and output-file count (and thus the
+    informational lineage_partition ids) change."""
     n = state.next_frontier_rows
-    if not (0 < n <= 4096):
+    if not scan_bounded or not (0 < n <= 4096):
         return df
     return df.coalesce(max(2, n // 128))
 
 
 def _prune_and_pushdown(pages: DataFrame, frontier: DataFrame,
-                        config: CrawlConfig, state: CrawlState) -> DataFrame:
+                        config: CrawlConfig,
+                        state: CrawlState) -> tuple[DataFrame, bool]:
     """Bucket pruning + point-lookup pushdown with ONE driver job: when the
     frontier is small enough for the url pushdown, a single distinct
     collect yields both the url list and the bucket set (bucket is a
@@ -369,26 +402,33 @@ def _prune_and_pushdown(pages: DataFrame, frontier: DataFrame,
     gates would run - one less per-round sync point on exactly the small
     rounds where fixed costs dominate the wall. Falls back to the
     standalone gates when only one regime applies. Semantics identical to
-    applying _prune_pages_by_bucket then _pushdown_small_frontier."""
-    B = config.pages_buckets if "bucket" in pages.columns else None
-    cap = min(config.url_pushdown_max, URL_PUSHDOWN_MAX)
-    n = state.next_frontier_rows
-    want_push = 0 < n <= cap
-    want_prune = bool(B) and 0 < n <= 4 * B
+    applying _prune_pages_by_bucket then _pushdown_small_frontier; the gate
+    predicates (_want_bucket_prune / _want_url_pushdown / _pushdown_cap)
+    are shared with the standalone paths so the regimes cannot drift.
+    Returns (pages, scan_bounded) - scan_bounded is True iff pruning or
+    pushdown actually narrowed the scan (feeds _coalesce_small_round)."""
+    want_push = _want_url_pushdown(config.url_pushdown_max, state)
+    want_prune = _want_bucket_prune(pages, config, state)
     if not (want_push and want_prune):
-        pages = _prune_pages_by_bucket(pages, frontier, config, state)
-        return _pushdown_small_frontier(pages, frontier, state,
-                                        config.url_pushdown_max)
+        pages, pruned = _prune_pages_by_bucket(pages, frontier, config, state)
+        pages, pushed = _pushdown_small_frontier(pages, frontier, state,
+                                                 config.url_pushdown_max)
+        return pages, pruned or pushed
+    B = config.pages_buckets
+    cap = _pushdown_cap(config.url_pushdown_max)
     rows = (frontier.select(
         "url", F.pmod(F.xxhash64("url"), F.lit(B)).cast("int").alias("b"))
         .distinct().collect())
+    bounded = False
     bks = sorted({r["b"] for r in rows})
     if len(bks) < B:
         pages = pages.where(F.col("bucket").isin(bks))
+        bounded = True
     urls = sorted({r["url"] for r in rows})
     if urls and len(urls) <= cap:
         pages = _chunked_url_filter(pages, urls)
-    return pages
+        bounded = True
+    return pages, bounded
 
 
 def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
@@ -415,7 +455,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
-    pages = _prune_and_pushdown(pages, frontier, config, state)
+    pages, scan_bounded = _prune_and_pushdown(pages, frontier, config, state)
 
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
     f = apply_robots(f, _robots_df(spark, config))
@@ -439,7 +479,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
         (F.length("html") > 100) & is_html_content_url_col(F.col("url")))
     succ = succ.withColumn("_skip_links",
                            F.col("depth") >= F.lit(config.max_depth))
-    succ = _coalesce_small_round(succ, state)
+    succ = _coalesce_small_round(succ, state, scan_bounded)
     extracted = html_text_and_links(succ, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")
                  .withColumn("lineage_partition", F.spark_partition_id()))
@@ -539,7 +579,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
-    pages = _prune_and_pushdown(pages, frontier, config, state)
+    pages, scan_bounded = _prune_and_pushdown(pages, frontier, config, state)
 
     # ---- gates: validity (silent), robots, politeness ----
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
@@ -676,7 +716,7 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     if 0 < state.next_frontier_rows <= 3_000_000:
         succ = F.broadcast(succ)
     enriched = succ.join(pages.select("url", "html", "warc_ts", "lang"), "url")
-    enriched = _coalesce_small_round(enriched, state)
+    enriched = _coalesce_small_round(enriched, state, scan_bounded)
     extracted = html_text_and_links(enriched, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")  # never checkpoint raw bytes
                  .withColumn("lineage_partition", F.spark_partition_id()))

@@ -324,9 +324,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     Jaccard, cosine near-dup) into an actual deduplicated corpus.
 
     Algorithm: min-label propagation to fixpoint - per iteration ONE
-    join (labels x symmetric edges) + ONE min-aggregate, then a cheap
-    changed-row count; lineage is cut every iteration (localCheckpoint) so
-    the plan does not grow with the iteration count. Converges in
+    join (labels x symmetric edges) + ONE min-aggregate; lineage is cut
+    every iteration (localCheckpoint) so the plan does not grow with the
+    iteration count. Convergence check (round-5 verdict #4): every node's
+    new label = min(its old label, propagated labels) - the old labels sit
+    inside the union - so per-node labels are monotonically non-increasing
+    and sum(label) is unchanged iff NO label changed. One scalar aggregate
+    on the new labels alone therefore detects the fixpoint, with no join
+    against the previous iteration (was: join + count = a second shuffle
+    job per iteration). The sum runs in decimal(38,0): at 10^10 nodes with
+    64-bit labels an int64 sum would overflow. Converges in
     O(cluster diameter) rounds - near-dup clusters are shallow, so this is
     2-4 iterations in practice; the large-star/small-star variant is the
     drop-in upgrade if 10^6-node chains ever appear. Deterministic: labels
@@ -340,18 +347,22 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("label")) \
         .localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iters):
         prop = (labels.join(edges, labels["node"] == edges["a"])
                 .select(F.col("b").alias("node"), "label"))
+        # lazy checkpoint + the sum action = ONE job per iteration: the
+        # aggregate materializes the checkpoint as a side effect, and later
+        # iterations reuse the checkpointed blocks
         new = (labels.unionByName(prop)
                .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label")).count())
+               .localCheckpoint(eager=False))
+        label_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                            .alias("s")).collect()[0]["s"]
         labels = new
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("component"),
                          (F.col("node") == F.col("label")).alias("keep"))

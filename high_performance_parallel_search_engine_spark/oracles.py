@@ -229,27 +229,21 @@ def q(name: str, oracle: str | None = None):
 
 # --- F1/F2/F5/F6: URL kernel over synthesized URLs ---------------------------
 
-@q("url_normalize", URL_CTE_SQL + """
-SELECT doc_id, url, url_canon FROM canon""")
+# F1+F2 combined gate (registry fitted to the driver's 50-entry window,
+# round-5 verdict #1): normalize + base_domain + host over the same urls -
+# one row per doc checks all three kernel functions by value.
+@q("url_normalize", URL_CTE_SQL + f"""
+, bd AS (SELECT doc_id, url, url_canon, url AS u FROM canon)
+SELECT doc_id, url, url_canon, {BASE_DOMAIN_SQL} AS base_domain,
+       CASE WHEN instr({BASE_DOMAIN_SQL}, '://') = 0 THEN {BASE_DOMAIN_SQL}
+            ELSE substr({BASE_DOMAIN_SQL},
+                        instr({BASE_DOMAIN_SQL}, '://') + 3) END AS host
+FROM bd""")
 def q_url_normalize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     u = F.substring(synth_url_col(), 1, 1023)
     return docs.select("doc_id", u.alias("url"),
-                       normalize_url_col(u).alias("url_canon"))
-
-
-@q("url_base_domain", f"""
-WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS u
-             FROM documents)
-SELECT doc_id, u AS url, {BASE_DOMAIN_SQL} AS base_domain,
-       CASE WHEN instr({BASE_DOMAIN_SQL}, '://') = 0 THEN {BASE_DOMAIN_SQL}
-            ELSE substr({BASE_DOMAIN_SQL},
-                        instr({BASE_DOMAIN_SQL}, '://') + 3) END AS host
-FROM raw""")
-def q_url_base_domain(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    u = F.substring(synth_url_col(), 1, 1023)
-    return docs.select("doc_id", u.alias("url"),
+                       normalize_url_col(u).alias("url_canon"),
                        base_domain_col(u).alias("base_domain"),
                        host_col(u).alias("host"))
 
@@ -335,39 +329,30 @@ CASE WHEN contains({u}, '/') AND length({seg}) > 0
      ELSE {_url_hash_fname_sql(u)} END"""
 
 
-# S4: filename derivation (Serial Version/src/crawler.c:58-90)
-@q("derive_filename", f"""
-WITH raw AS (SELECT doc_id, substr({SYNTH_URL_SQL}, 1, 1023) AS url
-             FROM documents)
-SELECT doc_id, url, ({_fname_sql('url')}) AS filename FROM raw""")
-def q_derive_filename(spark, sf_dir):
-    from .functions.urlsql import derive_filename_col
-
-    docs = _t(spark, sf_dir, "documents")
-    u = F.substring(synth_url_col(), 1, 1023)
-    return docs.select("doc_id", u.alias("url"),
-                       derive_filename_col(u).alias("filename"))
-
-
-# S4 medium variant (crawler.c:800-845): html synthesized as in the
-# extract_title gate; the oracle states each case's expected name directly.
+# S4: filename derivation, BOTH variants in one gate (registry fitted to
+# the 50-entry window, round-5 verdict #1). `filename` = the Serial
+# webpage sink name (Serial Version/src/crawler.c:58-90, pure Column);
+# `medium_name` = the medium title-slug variant (crawler.c:800-845, Arrow
+# UDF over synthesized html). html synthesized as in the extract_title
+# gate; the oracle states each medium case's expected name directly.
 # doc_id%7==0 is a medium profile url with title-less html -> profile name;
 # 1..3 are title-less non-medium urls -> get_url_filename; 4..6 carry a
 # title 'Doc <id> & <source> <x>' -> slug medium_doc_<id>__<source>_x.txt.
-@q("medium_filename", f"""
+@q("derive_filename", f"""
 WITH raw AS (SELECT doc_id, source,
                     substr({SYNTH_URL_SQL}, 1, 1023) AS url
              FROM documents)
-SELECT doc_id, url,
+SELECT doc_id, url, ({_fname_sql('url')}) AS filename,
        CASE WHEN doc_id % 7 >= 4
             THEN 'medium_doc_' || doc_id || '__' || source || '_x.txt'
             WHEN contains(url, 'medium.com/@')
             THEN 'medium_profile_' || regexp_extract(url, '@([^/?]*)', 1)
                  || '.txt'
-            ELSE ({_fname_sql('url')}) END AS filename
+            ELSE ({_fname_sql('url')}) END AS medium_name
 FROM raw""")
-def q_medium_filename(spark, sf_dir):
+def q_derive_filename(spark, sf_dir):
     from .functions.udfs import medium_filename_udf
+    from .functions.urlsql import derive_filename_col
 
     docs = _t(spark, sf_dir, "documents")
     u = F.substring(synth_url_col(), 1, 1023)
@@ -385,7 +370,8 @@ def q_medium_filename(spark, sf_dir):
             F.lit(" &lt;x&gt;</title></head><body>b</body></html>"))))
     return docs.select(
         "doc_id", u.alias("url"),
-        medium_filename_udf(u, F.encode(html, "utf-8")).alias("filename"))
+        derive_filename_col(u).alias("filename"),
+        medium_filename_udf(u, F.encode(html, "utf-8")).alias("medium_name"))
 
 
 # --- C4/C7/C2 analogs over events/orders -------------------------------------
@@ -716,15 +702,11 @@ def stem_openmp_col(t):
     return res.when(w.endswith("s"), es_case).otherwise(w)
 
 
-@q("stem_openmp", TOK_CTE + f"""
-SELECT term, {_stem_sql('term')} AS stemmed, COUNT(*) AS n
-FROM kept GROUP BY term""")
-def q_stem_openmp(spark, sf_dir):
-    toks = IX.doc_tokens(_t(spark, sf_dir, "documents"))
-    return (toks.groupBy("term")
-            .agg(F.count("*").alias("n"))
-            .select("term", stem_openmp_col(F.col("term")).alias("stemmed"),
-                    "n"))
+# F11(OpenMP)+F12 combined gate lives with the OMP tokenizer definition
+# below (q_stem_openmp); registry fitted to the 50-entry window (round-5
+# verdict #1): the stemmer runs over the OpenMP-tokenized vocabulary, so
+# one gate value-checks both the OMP tokenizer (terms + counts) and the
+# suffix stemmer. The serial tokenizer stays checked via `postings`.
 
 
 # --- TPC-H-style relational coverage -----------------------------------------
@@ -1494,37 +1476,30 @@ def q_extract_title(spark, sf_dir):
         "doc_id", extract_title_udf(F.encode(html, "utf-8")).alias("title"))
 
 
+# Grouping-sets + date-bucket + distinct-count coverage in ONE gate
+# (registry fitted to the 50-entry window, round-5 verdict #1): ROLLUP over
+# (nation, order-month) with sum/count/countDistinct checks everything the
+# former revenue_rollup + monthly_order_stats pair checked, by value.
 @q("revenue_rollup", """
-SELECT n.n_name, o.o_orderpriority,
+SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
        round(SUM(o.o_totalprice), 2) AS revenue,
-       COUNT(*) AS n_orders
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
-GROUP BY ROLLUP (n.n_name, o.o_orderpriority)""")
+GROUP BY ROLLUP (n.n_name, month)""")
 def q_revenue_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .rollup("n_name", "o_orderpriority")
+            .withColumn("month",
+                        F.date_trunc("month", "o_orderdate").cast("date"))
+            .rollup("n_name", "month")
             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-                 F.count("*").alias("n_orders")))
-
-
-@q("monthly_order_stats", """
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-       COUNT(*) AS n_orders,
-       round(SUM(o_totalprice), 2) AS revenue,
-       COUNT(DISTINCT o_custkey) AS n_customers
-FROM orders GROUP BY 1""")
-def q_monthly_order_stats(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
-                      .alias("month"))
-            .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"),
                  F.countDistinct("o_custkey").alias("n_customers")))
 
 
@@ -1533,26 +1508,36 @@ def q_monthly_order_stats(spark, sf_dir):
 _RX_OMP = (TOKEN_SPLIT_REGEX[:-2] + r"/\-_=+@]+").replace("'", "''")
 
 
-@q("tokenize_openmp", f"""
+@q("stem_openmp", f"""
 WITH raw AS (
   SELECT doc_id,
          unnest(string_split_regex(lower(text), '{_RX_OMP}')) AS t
   FROM documents
+), kept AS (
+  SELECT t AS term FROM raw
+  WHERE length(t) >= 3 AND length(t) <= 50
+    AND t NOT IN ('the', 'a', 'an', 'in', 'of')
 )
-SELECT t AS term, COUNT(*) AS n FROM raw
-WHERE length(t) >= 3 AND length(t) <= 50
-  AND t NOT IN ('the', 'a', 'an', 'in', 'of')
-GROUP BY t""")
-def q_tokenize_openmp(spark, sf_dir):
+SELECT term, {_stem_sql('term')} AS stemmed, COUNT(*) AS n
+FROM kept GROUP BY term""")
+def q_stem_openmp(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), _RX_OMP.replace("''", "'"))
     return (docs.select(F.explode(toks).alias("term"))
             .where((F.length("term") >= 3) & (F.length("term") <= 50)
                    & ~F.col("term").isin("the", "a", "an", "in", "of"))
-            .groupBy("term").agg(F.count("*").alias("n")))
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .select("term", stem_openmp_col(F.col("term")).alias("stemmed"),
+                    "n"))
 
 
-@q("crawl_smoke")  # rows-only: the flagship pipeline on a tiny synthetic web
+# Flagship pipeline on a tiny synthetic web, VALUE-checked (round-5 verdict
+# #6, the ivf_topk_trained pattern): the pure-Python serial-BFS oracle
+# (kernel/bfs.py, Spark-independent, itself pinned to the C loop by
+# test_oracle_bfs) replays the same crawl and its event trace is inlined as
+# a VALUES literal into a lazily-built DuckDB oracle - the driver then
+# hash-compares Spark's event table against the serial trace.
+@q("crawl_smoke")
 def q_crawl_smoke(spark, sf_dir):
     import tempfile
 
@@ -1570,3 +1555,20 @@ def q_crawl_smoke(spark, sf_dir):
               CrawlConfig(max_depth=2, max_pages=8))
     return spark.read.parquet(f"{workdir}/round=*/events.parquet") \
         .select("seq", "round", "url", "action", "depth")
+
+
+def _oracle_crawl_smoke() -> str:
+    from .kernel.bfs import crawl as serial_crawl
+    from .sources.synth import page_url, pages_dict
+
+    pages = pages_dict(n_hosts=1, pages_per_host=12, n_medium=0,
+                       n_tiny_per_host=1)
+    res = serial_crawl(pages, [page_url(0, 0)], max_depth=2, max_pages=8)
+    rows = ", ".join(
+        f"({e.seq}, {e.round}, '{e.url}', '{e.action}', {e.depth})"
+        for e in res.events)
+    return (f"SELECT seq, round, url, action, depth "
+            f"FROM (VALUES {rows}) AS t(seq, round, url, action, depth)")
+
+
+LAZY_ORACLES["crawl_smoke"] = _oracle_crawl_smoke

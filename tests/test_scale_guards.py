@@ -204,8 +204,9 @@ def test_small_frontier_url_pushdown_reaches_parquet(spark, tmp_path):
 
     fr = spark.createDataFrame([(page_url(0, i),) for i in range(3)],
                                "url string")
-    small = _pushdown_small_frontier(pages, fr,
-                                     CrawlState(next_frontier_rows=3))
+    small, applied = _pushdown_small_frontier(pages, fr,
+                                              CrawlState(next_frontier_rows=3))
+    assert applied
     plan = small._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert scan_lines and any("In(url" in ln for ln in scan_lines)
@@ -231,8 +232,8 @@ def test_small_frontier_url_pushdown_reaches_parquet(spark, tmp_path):
     n_mid = URL_PUSHDOWN_CHUNK + 7
     fr_mid = spark.createDataFrame(
         [(page_url(0, i),) for i in range(n_mid)], "url string")
-    mid = _pushdown_small_frontier(pages, fr_mid,
-                                   CrawlState(next_frontier_rows=n_mid))
+    mid, _ = _pushdown_small_frontier(pages, fr_mid,
+                                      CrawlState(next_frontier_rows=n_mid))
     mid_plan = mid._jdf.queryExecution().executedPlan().toString()
     mid_scans = [ln for ln in mid_plan.splitlines() if "PushedFilters" in ln]
     assert len(mid_scans) == 2 and all("In(url" in ln for ln in mid_scans)
@@ -240,9 +241,9 @@ def test_small_frontier_url_pushdown_reaches_parquet(spark, tmp_path):
     # the two disjoint chunks must not double-count any of them
     assert mid.count() == mid.select("url").distinct().count()
 
-    big = _pushdown_small_frontier(
+    big, applied = _pushdown_small_frontier(
         pages, fr, CrawlState(next_frontier_rows=URL_PUSHDOWN_MAX + 1))
-    assert big is pages  # gate skipped - no collect, no filter
+    assert big is pages and not applied  # gate skipped - no collect/filter
 
 
 def test_pair_operators_scan_corpus_once(spark, tmp_path):
@@ -327,19 +328,57 @@ def test_prune_and_pushdown_equals_sequential_gates(spark, tmp_path):
         # ^ prune-only: frontier above the pushdown cap
         (CrawlConfig(pages_buckets=None), 10, bucketed),   # pushdown-only
         (CrawlConfig(pages_buckets=nb), 10_000, bucketed),  # neither
+        # threshold boundaries (ADVICE r4 #4): gates must agree AT the
+        # boundary, not only inside/outside it
+        (CrawlConfig(pages_buckets=nb), 4 * nb, bucketed),      # n == 4*B
+        (CrawlConfig(pages_buckets=nb), 4 * nb + 1, bucketed),  # just over
+        (CrawlConfig(pages_buckets=nb, url_pushdown_max=10), 10, bucketed),
+        # ^ n == pushdown cap exactly
     ]
     for cfg, n, pages in cases:
         st = CrawlState(next_frontier_rows=n)
-        combined = _prune_and_pushdown(pages, fr, cfg, st)
-        seq = _prune_pages_by_bucket(pages, fr, cfg, st)
-        seq = _pushdown_small_frontier(seq, fr, st, cfg.url_pushdown_max)
+        combined, bounded = _prune_and_pushdown(pages, fr, cfg, st)
+        seq, pruned = _prune_pages_by_bucket(pages, fr, cfg, st)
+        seq, pushed = _pushdown_small_frontier(seq, fr, st,
+                                               cfg.url_pushdown_max)
         assert urls_of(combined) == urls_of(seq), (cfg.pages_buckets,
                                                    cfg.url_pushdown_max, n)
+        assert bounded == (pruned or pushed), (cfg.pages_buckets,
+                                               cfg.url_pushdown_max, n)
     # the both-gates regime actually filters down to the frontier's pages
+    # and reports the scan as bounded (the coalesce-gate contract)
     st = CrawlState(next_frontier_rows=10)
-    both = _prune_and_pushdown(bucketed, fr, CrawlConfig(pages_buckets=nb),
-                               st)
-    assert both.count() == 10
+    both, bounded = _prune_and_pushdown(bucketed, fr,
+                                        CrawlConfig(pages_buckets=nb), st)
+    assert both.count() == 10 and bounded
+    # neither-regime: full scan, NOT bounded -> coalesce must not apply
+    st_big = CrawlState(next_frontier_rows=10_000)
+    full, bounded = _prune_and_pushdown(bucketed, fr,
+                                        CrawlConfig(pages_buckets=nb), st_big)
+    assert not bounded
+
+
+def test_coalesce_only_when_scan_bounded(spark):
+    """ADVICE r4 #1: the small-round coalesce must NOT serialize an
+    unbounded corpus scan. With scan_bounded=False (e.g. 513-4096-url
+    frontier over the default pushdown cap on an unbucketed table) the
+    partitioning stays untouched; with scan_bounded=True small rounds
+    coalesce to ~n//128 tasks."""
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlState,
+        _coalesce_small_round,
+    )
+
+    df = spark.range(10_000).repartition(32)
+    st = CrawlState(next_frontier_rows=1024)
+    kept = _coalesce_small_round(df, st, scan_bounded=False)
+    assert kept.rdd.getNumPartitions() == 32
+    squeezed = _coalesce_small_round(df, st, scan_bounded=True)
+    assert squeezed.rdd.getNumPartitions() == max(2, 1024 // 128)
+    # big rounds keep parallelism regardless
+    big = _coalesce_small_round(df, CrawlState(next_frontier_rows=5000),
+                                scan_bounded=True)
+    assert big.rdd.getNumPartitions() == 32
 
 
 def test_minhash_family_candidate_quality(spark):
@@ -371,3 +410,45 @@ def test_minhash_family_candidate_quality(spark):
     # precision: distinct docs share no shingles - any other pair is a
     # family artifact; allow a couple of flukes, reject an explosion
     assert len(pairs) <= 3, f"family produced {len(pairs)} candidate pairs"
+
+
+def test_ngram_jaccard_hashed_equals_raw_shingles(spark):
+    """The production gate compares hashed-shingle Jaccard on both engines
+    (ADVICE r4: a 2^-60 collision would fold identically on both sides, so
+    the gate checks the hashed-universe measure). This is the independent
+    cross-check on the ORIGINAL string-shingle semantics: a pure-Python
+    raw-shingle-set reference must match the operator's output exactly on a
+    corpus with real overlaps."""
+    import itertools
+    import re
+
+    from high_performance_parallel_search_engine_spark.kernel.text import TOKEN_SPLIT_REGEX
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, base),
+        (1, base + " eleven"),                       # high overlap with 0
+        (2, "one two three four totally different tail here"),
+        (3, "disjoint words entirely unrelated to all others"),
+        (4, base),                                   # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in D.ngram_jaccard_pairs(
+                     docs, threshold=0.1, max_shingle_df=None).collect())
+
+    def shingles(text):
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, text) if t]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if not inter:
+            continue
+        j = round(inter / len(sets[a] | sets[b]), 6)
+        if j >= 0.1:
+            want.append((a, b, j))
+    assert got == sorted(want)
+    assert any(a == 0 and b == 4 and j == 1.0 for a, b, j in want)
