@@ -69,6 +69,25 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         assert s["results"] and s["results"][0]["url"]
         assert s["query_time_ms"] > 0
 
+        # batch form (round-4 verdict #8): 2 queries through
+        # rank_bm25_batch in ONE postings pass, per-query timing share
+        code, b = _post(port, "/api/search",
+                        {"queries": ["crawl indexes bm25",
+                                     "parallel search engine"], "limit": 5})
+        assert code == 200 and b["status"] == "ok"
+        assert b["batch_time_ms"] > 0 and b["per_query_ms"] > 0
+        assert abs(b["per_query_ms"] - b["batch_time_ms"] / 2) < 0.02
+        assert len(b["results"]) == 2
+        assert b["results"][0]["query"] == "crawl indexes bm25"
+        for entry in b["results"]:
+            assert entry["results"] and entry["results"][0]["url"]
+            assert len(entry["results"]) <= 5
+        # batch result for a query == the single-query ranking
+        assert ([r["doc_id"] for r in b["results"][0]["results"]]
+                == [r["doc_id"] for r in s["results"]])
+        code, berr = _post(port, "/api/search", {"queries": []})
+        assert code == 400 and berr["status"] == "error"
+
         # validation envelope mirrors the reference's 400s
         code, err = _post(port, "/api/search", {})
         assert code == 400 and err["status"] == "error"
