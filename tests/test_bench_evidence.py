@@ -6,8 +6,9 @@ pin the pure helpers that build that line - no Spark session needed:
 
 - the compact line built from a realistic full record stays under the
   1800-char trim threshold (and the trim path itself stays under 2000),
-- _stage_ratio uses the best (minimum) final-round extract wall observed
-  across a pinning's runs, not just the best-total-wall run's,
+- _pair_stage_ratio is a strictly SAME-PAIR comparison (round-4 ADVICE:
+  the old cross-run best-vs-best overstated the evidence): the stage wall
+  and the kernel ceiling come from the same crawl+ceiling pair,
 - _crawl_compact keeps the fields speedup_vs_baseline needs next round
   (threads + "HxPxW" shape string) while dropping the bulky corpus dict.
 """
@@ -51,27 +52,23 @@ def _full_crawl_record(threads: int) -> dict:
     }
 
 
-def test_stage_ratio_uses_best_extract_wall_across_runs():
+def test_pair_stage_ratio_is_same_pair_only():
+    """The official ratio comes from ONE crawl+ceiling pair: this run's own
+    final-round extract wall against this pair's kernel reading. A faster
+    extract wall from some OTHER run (best_extract_wall) must NOT leak in -
+    that cross-run mixing is exactly what round-4's ADVICE flagged."""
     ceil = {"pages_per_sec": 13352.1}
     c = _full_crawl_record(32)
-    # best-total-wall run's own final extract stage: 186564/27.662 = 6745/s
-    base = bench._stage_ratio(c, ceil)
+    base = bench._pair_stage_ratio(c, ceil)
     assert base == round(13352.1 / (186564 / 27.662), 3)
-    # a discarded re-run measured a faster extract stage: the gated metric
-    # must take it (best-vs-best, matching the ceiling side's fastest pick)
-    c["best_extract_wall"] = 15.0
-    improved = bench._stage_ratio(c, ceil)
-    assert improved == round(13352.1 / (186564 / 15.0), 3)
-    assert improved < base
-    # absent the cross-run minimum it falls back to the kept run's stage
-    del c["best_extract_wall"]
-    assert bench._stage_ratio(c, ceil) == base
+    c["best_extract_wall"] = 15.0  # cross-run artifact: must be ignored
+    assert bench._pair_stage_ratio(c, ceil) == base
 
 
-def test_stage_ratio_handles_missing_fields():
-    assert bench._stage_ratio({}, {"pages_per_sec": 100}) is None
+def test_pair_stage_ratio_handles_missing_fields():
+    assert bench._pair_stage_ratio({}, {"pages_per_sec": 100}) is None
     c = _full_crawl_record(8)
-    assert bench._stage_ratio(c, {}) is None
+    assert bench._pair_stage_ratio(c, {}) is None
 
 
 def test_crawl_compact_keeps_comparability_fields():
@@ -92,7 +89,6 @@ def test_compact_line_fits_driver_tail_capture():
     lost round 3's query evidence."""
     queries = {n: 9.999 for n in bench.HEADLINE}
     scaling = {
-        "n_small": 8, "n_big": 32,
         "urls_per_sec_small": 3419.55, "urls_per_sec_big": 4100.79,
         "efficiency_n_to_4n": 0.3, "workload_ceiling_n_to_4n": 0.728,
         "efficiency_vs_workload_ceiling": 0.412,
@@ -111,19 +107,29 @@ def test_compact_line_fits_driver_tail_capture():
                   "local[8]": bench._crawl_compact(_full_crawl_record(8))},
         "long_crawl": {"rounds": 11, "pages_fetched": 49400,
                        "wall_sec": 54.27, "urls_per_sec": 910.34,
-                       "compact_every": 4, "fanin_before": 12,
-                       "fanin_after": 4, "rewind_barrier_enforced": True},
-        "crawl_priority": {"mode": "north", "wall_sec": 60.97,
+                       "fanin_before": 12,
+                       "fanin_after": 4, "rewind_ok": True,
+                       "ctl": [0.821, 0.716, 0]},
+        "crawl_priority": {"wall_sec": 60.97,
                            "urls_per_sec": 810.23, "rounds": 11,
-                           "wall_vs_fifo": 1.123},
-        "query_warm": {"serial_ms": 563.2, "openmp_ms": 577.9,
-                       "batch_8q_ms": 1894.4, "aqe_on_ms": 733.1},
+                           "wall_vs_fifo": 1.123,
+                           "ctl": [0.821, 0.716, 0]},
+        "steady_crawl": {"shape": "8x6175x384", "ups_small": 701.2,
+                         "ups_big": 1701.9, "eff": 0.607, "ceil": 0.655,
+                         "eff_vs_ceil": 0.927},
+        "sf1": {"growth": {"minhash": 9.1, "ngram": 11.4,
+                           "components": 8.8, "cosine": 12.2},
+                "sf1_walls": {"minhash": 14.21, "ngram": 27.93,
+                              "components": 19.41, "cosine": 11.87}},
+        "query_warm": {"25_docs": {"med": 486.4, "min": 469.7,
+                                   "batch8": 519.7},
+                       "sf0.1": {"med": 789.4, "min": 759.2,
+                                 "batch8": 868.9}},
         "speedup_vs_baseline": {"baseline_run": "BENCH_r02.json",
                                 "q_median": 1.05, "q_min": 0.43,
                                 "q_max": 2.94, "crawl_urls_per_sec": 0.95},
         "queries": queries,
-        "query_phase_control": {"ref": 0.716, "worst_dev": 0.29,
-                                "reran": ["ngram_jaccard_pairs"]},
+        "query_phase_control": [0.821, 0.716, 0.716, 1, True],
         "scaling": scaling,
     }
     line = json.dumps(compact, separators=(",", ":"))
@@ -136,13 +142,35 @@ def test_compact_line_fits_driver_tail_capture():
             lvl.pop("pages_fetched", None)
         compact["long_crawl"].pop("pages_fetched", None)
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # main()'s trim 3: growth ratios carry the claim
+        compact["sf1"].pop("sf1_walls", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # main()'s trim 4: absolute ceiling pps
+        compact["scaling"].pop("extract_pages_per_sec_small", None)
+        compact["scaling"].pop("extract_pages_per_sec_big", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # main()'s trim 5: eff/ceil carry the claim
+        compact["steady_crawl"].pop("ups_small", None)
+        compact["steady_crawl"].pop("ups_big", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # main()'s trim 6: derivable next round
+        compact.pop("speedup_vs_baseline", None)
+        line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1800, f"compact line {len(line)} chars"
+    # the unique cross-round evidence survives the realistic trim depth
+    assert "speedup_vs_baseline" in compact
     # trims 1-2 must never cost the adjudication-critical keys: warm
     # latency + phase controls survive (only the never-reached last-resort
     # trim may drop them), and the scaling block stays whole
     for key in ("queries", "query_phase_control", "scaling", "crawl",
-                "long_crawl", "crawl_priority", "query_warm"):
+                "long_crawl", "crawl_priority", "query_warm",
+                "steady_crawl", "sf1"):
         assert key in compact
+    # the per-section controls (round-4 verdict #3) survive every trim
+    assert "ctl" in compact["long_crawl"]
+    assert "ctl" in compact["crawl_priority"]
+    assert "growth" in compact["sf1"]
+    assert "eff_vs_ceil" in compact["steady_crawl"]
     for key in ("extract_stage_vs_kernel_big", "steady_eff_n_to_4n",
                 "steady_vs_ceiling", "efficiency_n_to_4n"):
         assert key in compact["scaling"]
