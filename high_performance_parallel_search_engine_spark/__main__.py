@@ -219,7 +219,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   if total else 0.0)
         postings.count()  # warm the cached index once; queries reuse it
         dfs = term_df(postings).cache()
-        dfs.count()
+        vocab = dfs.count()
+        # driver-side {term: df} while the vocab fits (see api.EngineState):
+        # each interactive query is then ONE Spark job
+        df_map = (dict((r["term"], r["df"]) for r in dfs.collect())
+                  if vocab <= 2_000_000 else None)
         phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
         print(f"Indexed {total} documents.")
 
@@ -230,7 +234,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             with interactive_query_conf(spark):
                 top = rank_bm25(postings, stats, q, total_docs=total,
                                 avg_dl=avg_dl, top_k=10, fallback=True,
-                                df_table=dfs).collect()
+                                df_table=None if df_map is not None else dfs,
+                                df_map=df_map).collect()
             ms = (time.perf_counter() - t2) * 1000
             by_id = {r["doc_id"]: r["url"]
                      for r in docs.where(F.col("doc_id").isin(

@@ -177,14 +177,22 @@ class EngineState:
         # (term, df) cached once at build: every search then skips the
         # per-query df aggregation (rank_bm25 df_table warm path)
         dfs = term_df(postings).cache()
-        dfs.count()
+        vocab = dfs.count()
+        # driver-side {term: df} while the vocabulary fits the driver
+        # (<= 2M terms ~ tens of MB): candidate resolution + fallback
+        # preference become dict lookups and a warm query is ONE Spark job
+        # (rank_bm25 df_map path). Past the cap the cached vocab TABLE
+        # serves unbounded corpora (df_table path, identical results).
+        df_map = (dict((r["term"], r["df"]) for r in dfs.collect())
+                  if vocab <= 2_000_000 else None)
         # urls stay a DataFrame: resolving a top-k result joins k rows
         # against it (broadcast on the k side), so nothing doc-count-sized
         # ever crosses to the driver - a 10^9-doc corpus serves the same way
         urls = docs.select("doc_id", "url").cache()
         urls.count()
         return {"postings": postings, "stats": stats, "total": total,
-                "avg_dl": avg_dl, "urls": urls, "term_df": dfs}
+                "avg_dl": avg_dl, "urls": urls, "term_df": dfs,
+                "df_map": df_map}
 
     def _acquire_index(self):
         """Build-if-needed and register this thread as a reader; the caller
@@ -234,7 +242,9 @@ class EngineState:
         hits = rank_bm25(ix["postings"], ix["stats"], query,
                          total_docs=ix["total"], avg_dl=ix["avg_dl"],
                          top_k=limit, fallback=fallback,
-                         df_table=ix["term_df"])
+                         df_table=(None if ix["df_map"] is not None
+                                   else ix["term_df"]),
+                         df_map=ix["df_map"])
         # k rows broadcast into the urls table - never a driver-side url map
         with interactive_query_conf(self.spark):
             rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
@@ -269,7 +279,9 @@ class EngineState:
             hits = rank_bm25_batch(ix["postings"], ix["stats"], queries,
                                    total_docs=ix["total"],
                                    avg_dl=ix["avg_dl"], top_k=limit,
-                                   df_table=ix["term_df"])
+                                   df_table=(None if ix["df_map"] is not None
+                                             else ix["term_df"]),
+                                   df_map=ix["df_map"])
             with interactive_query_conf(self.spark):
                 rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
                         .select("query_id", "doc_id", "url", "score", "rk")

@@ -35,18 +35,28 @@ from ..kernel.text import BM25_B, BM25_K1, DEFAULT_STOPWORDS, stem_serial
 
 
 @contextmanager
-def interactive_query_conf(spark):
+def interactive_query_conf(spark, shuffle_partitions: int = 4):
     """AQE off for sub-second interactive queries: adaptive execution
     re-plans after every exchange, and on a warm cached index those extra
     driver round-trips cost ~170 ms/query (measured: 735 -> 568 ms median
     on the 25-doc index) while buying nothing - the exchanges are a few KB.
-    Batch/ETL plans keep AQE (skew splitting, coalescing matter there)."""
+    Batch/ETL plans keep AQE (skew splitting, coalescing matter there).
+
+    Also clamps spark.sql.shuffle.partitions (default 4) for the duration:
+    the scoring plan's one shuffle (groupBy doc_id) carries <= top-k-ish KB
+    per query, and with AQE off the session default (32+) schedules that
+    many near-empty reduce tasks per query - pure per-task launch overhead
+    at interactive latencies. Batch/ETL paths outside this context keep the
+    full width."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def query_terms(query: str, stopwords=DEFAULT_STOPWORDS, stem=stem_serial) -> list[str]:
@@ -83,7 +93,8 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
               total_docs: int | None = None, top_k: int = 10,
               stopwords=DEFAULT_STOPWORDS, fallback: bool = False,
               avg_dl: float | None = None,
-              df_table: DataFrame | None = None) -> DataFrame:
+              df_table: DataFrame | None = None,
+              df_map: dict | None = None) -> DataFrame:
     """Returns (doc_id, score) for the top_k positive-score docs, ordered by
     (score desc, doc_id asc) - deterministic tie-break (the C qsort is
     unstable; ties are broken by doc_id in both our engine and the oracle).
@@ -101,7 +112,17 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     pref/idf selection runs on the <= 2|terms| collected rows, and the
     whole query becomes ONE scoring job - the warm-dashboard path
     (EngineState/api.py). Results are identical; without it the df
-    aggregation runs inline (the cold / gate-checked path)."""
+    aggregation runs inline (the cold / gate-checked path).
+
+    df_map: optional driver-side {term: df} dict (term_df collected once at
+    warm-index build). Candidate resolution - df lookup, fallback
+    preference (primary beats plural/singular retry, ranking.c's early
+    break), idf inputs - all happen in Python on <= 2|terms| entries, so
+    the per-query plan is EXACTLY one job: postings x broadcast(<=|terms|
+    literal rows) -> stats join -> score -> top-k. No vocab-table scan, no
+    pref window. Valid while the vocabulary fits driver memory (EngineState
+    guards with a vocab-size cap); df_table remains the unbounded-vocab
+    path and both produce identical results (parity-tested)."""
     spark = postings.sparkSession
     if total_docs is None or avg_dl is None:
         # one job for both corpus stats (doc_stats has one row per doc)
@@ -117,6 +138,27 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     terms = query_terms(query, stopwords)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
+
+    if df_map is not None and df_table is None:
+        # Driver-side candidate resolution: df_map covers exactly the
+        # indexed vocabulary, so "term in df_map" == "term in index" and
+        # the fallback's primary-beats-retry rule is a dict lookup. Terms
+        # absent from the index contribute nothing in every path (they
+        # never join); skipping them here is identical.
+        rows = []
+        for i, t in enumerate(terms):
+            d = df_map.get(t)
+            if d is None and fallback:
+                a = alt_term(t)
+                if a is not None and a in df_map:
+                    t, d = a, df_map[a]
+            if d:
+                rows.append((i, t, d))
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, score double")
+        sel = spark.createDataFrame(rows, "qpos int, term string, df long")
+        return _score_candidates(postings, doc_stats, sel, total_docs,
+                                 avg_dl, top_k)
 
     # Candidate table: (query position, candidate term, preference).
     # pref 0 = the term itself; pref 1 = the OpenMP plural/singular retry.
@@ -159,6 +201,14 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
         # skip its exchange (one less stage on every warm query)
         sel = df_tbl.select("qpos", "term", "df")
 
+    return _score_candidates(postings, doc_stats, sel, total_docs, avg_dl,
+                             top_k)
+
+
+def _score_candidates(postings: DataFrame, doc_stats: DataFrame,
+                      sel: DataFrame, total_docs: int, avg_dl: float,
+                      top_k: int) -> DataFrame:
+    """Shared scoring tail: sel = (qpos, term, df) resolved candidates."""
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     scored = (
@@ -183,7 +233,8 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
                     queries: list[str], total_docs: int | None = None,
                     top_k: int = 5, stopwords=DEFAULT_STOPWORDS,
                     avg_dl: float | None = None,
-                    df_table: DataFrame | None = None) -> DataFrame:
+                    df_table: DataFrame | None = None,
+                    df_map: dict | None = None) -> DataFrame:
     """The evaluation harness shape (Serial Version/src/evaluate.c:12-18:
     5 fixed queries, top-5): N queries ranked in ONE plan. Returns
     (query_id, doc_id, score, rk) with rk 1..top_k per query, ordered
@@ -214,6 +265,18 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
             cands.append((qid, i, t))
     if not cands:
         return empty
+
+    if df_map is not None and df_table is None:
+        # driver-side df resolution (see rank_bm25.df_map): the batch plan
+        # collapses to one job - postings x broadcast(literal candidates)
+        rows = [(qid, i, t, df_map[t]) for qid, i, t in cands
+                if t in df_map]
+        if not rows:
+            return empty
+        df_tbl = spark.createDataFrame(
+            rows, "query_id int, qpos int, term string, df long")
+        return _score_candidates_batch(postings, doc_stats, df_tbl,
+                                       total_docs, avg_dl, top_k)
     cdf = spark.createDataFrame(cands, "query_id int, qpos int, term string")
 
     if df_table is not None:
@@ -225,6 +288,14 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
         df_tbl = (postings.join(F.broadcast(cdf), "term")
                   .groupBy("query_id", "qpos", "term")
                   .agg(F.countDistinct("doc_id").alias("df")))
+    return _score_candidates_batch(postings, doc_stats, df_tbl, total_docs,
+                                   avg_dl, top_k)
+
+
+def _score_candidates_batch(postings: DataFrame, doc_stats: DataFrame,
+                            df_tbl: DataFrame, total_docs: int,
+                            avg_dl: float, top_k: int) -> DataFrame:
+    """Shared batch scoring tail: df_tbl = (query_id, qpos, term, df)."""
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     scored = (

@@ -452,3 +452,67 @@ def test_ngram_jaccard_hashed_equals_raw_shingles(spark):
             want.append((a, b, j))
     assert got == sorted(want)
     assert any(a == 0 and b == 4 and j == 1.0 for a, b, j in want)
+
+
+def test_bm25_df_map_path_matches_df_table_and_cold(spark, docs):
+    """The driver-side df_map warm path (EngineState dashboard) must score
+    identically to the df_table warm path and the cold inline-df path -
+    single query, fallback query, and the 8-query batch plan."""
+    postings = IX.build_postings(docs)
+    stats = IX.build_doc_stats(docs)
+    dfs = IX.term_df(postings)
+    df_map = dict((r["term"], r["df"]) for r in dfs.collect())
+
+    def key(rows):
+        return [(r["doc_id"], round(r["score"], 9)) for r in rows]
+
+    for q, fb in [("spark join window stream", False),
+                  ("joins windows", True),      # both terms retry
+                  ("join windows", True),       # primary beats retry
+                  ("absent absent", True),      # nothing resolves
+                  ("", False)]:
+        cold = RK.rank_bm25(postings, stats, q, top_k=5,
+                            fallback=fb).collect()
+        warm_tbl = RK.rank_bm25(postings, stats, q, top_k=5, fallback=fb,
+                                df_table=dfs).collect()
+        warm_map = RK.rank_bm25(postings, stats, q, top_k=5, fallback=fb,
+                                df_map=df_map).collect()
+        assert key(cold) == key(warm_tbl) == key(warm_map), q
+
+    queries = ["spark join window stream", "join join vector",
+               "totally unrelated", "zzz nothing"]
+    bkey = lambda rows: sorted(
+        (r["query_id"], r["rk"], r["doc_id"], round(r["score"], 9))
+        for r in rows)
+    b_cold = RK.rank_bm25_batch(postings, stats, queries, top_k=3).collect()
+    b_tbl = RK.rank_bm25_batch(postings, stats, queries, top_k=3,
+                               df_table=dfs).collect()
+    b_map = RK.rank_bm25_batch(postings, stats, queries, top_k=3,
+                               df_map=df_map).collect()
+    assert bkey(b_cold) == bkey(b_tbl) == bkey(b_map)
+
+
+def test_bm25_df_map_single_job_plan(spark, docs):
+    """df_map path over a warm (cached) index, as EngineState serves it:
+    no vocab-table scan, no pref window, no per-query df aggregate - the
+    optimized plan is exactly postings x literal candidates -> stats join
+    -> score sum -> top-k."""
+    postings = IX.build_postings(docs).cache()
+    postings.count()
+    stats = IX.build_doc_stats(docs).cache()
+    stats.count()
+    try:
+        df_map = dict(
+            (r["term"], r["df"]) for r in IX.term_df(postings).collect())
+        out = RK.rank_bm25(postings, stats, "joins window", top_k=5,
+                           fallback=True, df_map=df_map)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan      # pref resolution happened in Python
+        # exactly one LOGICAL aggregate: the final per-doc score sum - no
+        # per-query df aggregate. ("Aggregate [" is the logical-plan form;
+        # the InMemoryRelation's embedded cached physical plan prints
+        # "HashAggregate(", which must not count.)
+        assert plan.count("Aggregate [") == 1
+    finally:
+        postings.unpersist()
+        stats.unpersist()
