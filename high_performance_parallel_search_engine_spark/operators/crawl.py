@@ -41,7 +41,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
@@ -297,16 +297,16 @@ def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
     url). Skipped for big frontiers (expected to touch every bucket) so the
     tiny distinct-buckets job only runs when it can actually prune - this is
     what makes a 32-URL round against a 100 TB corpus cost 32 buckets, not a
-    full scan. Returns (pages, applied)."""
+    full scan. Returns (pages, applied, n_buckets_kept)."""
     if not _want_bucket_prune(pages, config, state):
-        return pages, False
+        return pages, False, None
     B = config.pages_buckets
     bks = sorted(r["b"] for r in frontier.select(
         F.pmod(F.xxhash64("url"), F.lit(B)).cast("int").alias("b"))
         .distinct().collect())
     if len(bks) >= B:
-        return pages, False
-    return pages.where(F.col("bucket").isin(bks)), True
+        return pages, False, None
+    return pages.where(F.col("bucket").isin(bks)), True, len(bks)
 
 
 # frontier sizes up to this push their url list into the pages scan; the
@@ -368,7 +368,8 @@ def _chunked_url_filter(pages: DataFrame, urls: list[str]) -> DataFrame:
 
 
 def _coalesce_small_round(df: DataFrame, state: CrawlState,
-                          scan_bounded: bool) -> DataFrame:
+                          scan_bounded: bool,
+                          k_files: int | None = None) -> DataFrame:
     """Cap task fan-out on small rounds: a 32-url round otherwise schedules
     one extraction task per pruned bucket file (each paying a Python-worker
     Arrow round-trip of a near-empty batch) and commits that many parquet
@@ -383,18 +384,32 @@ def _coalesce_small_round(df: DataFrame, state: CrawlState,
     513-4096-url frontier over the default url_pushdown_max=512) the round
     joins against the FULL corpus scan, and coalescing that to n//128
     tasks would serialize a large scan a 100 TB table cannot afford - so
-    we keep full scan parallelism instead (ADVICE r4 #1). Row content is
-    untouched; only task count and output-file count (and thus the
-    informational lineage_partition ids) change."""
+    we keep full scan parallelism instead (ADVICE r4 #1).
+
+    `k_files` (also from _prune_and_pushdown) is the number of bucket
+    files the bounded scan still touches. Frontier size alone is the
+    wrong cost model once pages are big: 150 urls hash into ~58 of 64
+    buckets, so n//128 = 2 tasks would serially re-read ~90% of the
+    corpus bytes even though the scan is formally 'bounded' (measured:
+    a 150-page round costing 1.4x a FULL 32-task scan at pad_paras=384)
+    - and the same 2 tasks at every pinning zeroes that round's N->4N
+    scaling. Floor the task count at ~one task per two scanned files so
+    scan bytes stay spread while near-empty Arrow batches still merge.
+    Row content is untouched; only task count and output-file count (and
+    thus the informational lineage_partition ids) change."""
     n = state.next_frontier_rows
     if not scan_bounded or not (0 < n <= 4096):
         return df
-    return df.coalesce(max(2, n // 128))
+    tasks = max(2, n // 128)
+    if k_files is not None:
+        tasks = max(tasks, (k_files + 1) // 2)
+    return df.coalesce(tasks)
 
 
 def _prune_and_pushdown(pages: DataFrame, frontier: DataFrame,
                         config: CrawlConfig,
-                        state: CrawlState) -> tuple[DataFrame, bool]:
+                        state: CrawlState) -> tuple[DataFrame, bool,
+                                                    int | None]:
     """Bucket pruning + point-lookup pushdown with ONE driver job: when the
     frontier is small enough for the url pushdown, a single distinct
     collect yields both the url list and the bucket set (bucket is a
@@ -405,30 +420,41 @@ def _prune_and_pushdown(pages: DataFrame, frontier: DataFrame,
     applying _prune_pages_by_bucket then _pushdown_small_frontier; the gate
     predicates (_want_bucket_prune / _want_url_pushdown / _pushdown_cap)
     are shared with the standalone paths so the regimes cannot drift.
-    Returns (pages, scan_bounded) - scan_bounded is True iff pruning or
-    pushdown actually narrowed the scan (feeds _coalesce_small_round)."""
+    Returns (pages, scan_bounded, k_files): scan_bounded is True iff
+    pruning or pushdown actually narrowed the scan; k_files is how many
+    bucket files that narrowed scan still touches (len(bks) when the
+    bucket set is known, the full bucket count when only the url filter
+    applied on a bucketed table, None on an unbucketed one) - the cost
+    signal _coalesce_small_round needs to avoid serializing a scan whose
+    frontier is small but whose bytes are not."""
     want_push = _want_url_pushdown(config.url_pushdown_max, state)
     want_prune = _want_bucket_prune(pages, config, state)
+    B = config.pages_buckets if "bucket" in pages.columns else None
     if not (want_push and want_prune):
-        pages, pruned = _prune_pages_by_bucket(pages, frontier, config, state)
+        pages, pruned, kb = _prune_pages_by_bucket(pages, frontier, config,
+                                                   state)
         pages, pushed = _pushdown_small_frontier(pages, frontier, state,
                                                  config.url_pushdown_max)
-        return pages, pruned or pushed
-    B = config.pages_buckets
+        return pages, pruned or pushed, (kb if pruned
+                                         else B if pushed else None)
     cap = _pushdown_cap(config.url_pushdown_max)
     rows = (frontier.select(
         "url", F.pmod(F.xxhash64("url"), F.lit(B)).cast("int").alias("b"))
         .distinct().collect())
     bounded = False
+    k_files: int | None = None
     bks = sorted({r["b"] for r in rows})
     if len(bks) < B:
         pages = pages.where(F.col("bucket").isin(bks))
         bounded = True
+        k_files = len(bks)
     urls = sorted({r["url"] for r in rows})
     if urls and len(urls) <= cap:
         pages = _chunked_url_filter(pages, urls)
+        if not bounded:
+            k_files = B
         bounded = True
-    return pages, bounded
+    return pages, bounded, k_files
 
 
 def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
@@ -455,7 +481,8 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
-    pages, scan_bounded = _prune_and_pushdown(pages, frontier, config, state)
+    pages, scan_bounded, k_files = _prune_and_pushdown(pages, frontier,
+                                                      config, state)
 
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
     f = apply_robots(f, _robots_df(spark, config))
@@ -479,7 +506,7 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
         (F.length("html") > 100) & is_html_content_url_col(F.col("url")))
     succ = succ.withColumn("_skip_links",
                            F.col("depth") >= F.lit(config.max_depth))
-    succ = _coalesce_small_round(succ, state, scan_bounded)
+    succ = _coalesce_small_round(succ, state, scan_bounded, k_files)
     extracted = html_text_and_links(succ, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")
                  .withColumn("lineage_partition", F.spark_partition_id()))
@@ -530,25 +557,35 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
         .unionByName(child_rows.select(
             *[f_.name for f_ in FRONTIER_SCHEMA.fields]))
 
+    # Row counts ride the write jobs as Observations instead of separate
+    # count actions: n_next was a serial post-barrier read-back job and
+    # n_children a fourth pool job - on small rounds those two extra
+    # driver syncs are a measurable slice of the ~per-round fixed floor
+    # that caps whole-crawl scaling (round-4 verdict #7).
+    obs_frontier = Observation(f"r{rnd}_frontier")
+    obs_children = Observation(f"r{rnd}_children")
+    frontier_out = next_frontier.observe(obs_frontier,
+                                         F.count(F.lit(1)).alias("n"))
+    children_out = children.observe(obs_children,
+                                    F.count(F.lit(1)).alias("n"))
     jobs = {
-        "w_frontier": lambda: next_frontier.write.mode("overwrite").parquet(
+        "w_frontier": lambda: frontier_out.write.mode("overwrite").parquet(
             str(d / "frontier_next.parquet")),
-        "w_seen": lambda: children.select("url").write.mode("overwrite")
+        "w_seen": lambda: children_out.select("url").write.mode("overwrite")
         .parquet(str(d / "url_seen_delta.parquet")),
         "lineage": lambda: (stored.groupBy("lineage_partition")
                             .agg(F.count("*").alias("cnt")).collect()),
-        "n_children": lambda: children.count(),
     }
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         futs = {k: pool.submit(fn) for k, fn in jobs.items()}
         res = {k: fu.result() for k, fu in futs.items()}
     _mark("writes_and_metrics")
-    n_next = spark.read.parquet(str(d / "frontier_next.parquet")).count()
+    n_next = obs_frontier.get["n"]
     part_lineage = [{"partition": r["lineage_partition"], "pages": r["cnt"]}
                     for r in res["lineage"]]
     fetched = sum(p["pages"] for p in part_lineage)
     metrics = {
-        "round": rnd, "fetched": fetched, "enqueued": res["n_children"],
+        "round": rnd, "fetched": fetched, "enqueued": obs_children.get["n"],
         "lineage_partitions": part_lineage, "next_frontier_rows": n_next,
         "trace": False, "wall_sec": round(time.monotonic() - t0, 3),
         "stage_wall": stage_wall,
@@ -579,7 +616,8 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     d.mkdir(parents=True, exist_ok=True)
     frontier = spark.read.parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
-    pages, scan_bounded = _prune_and_pushdown(pages, frontier, config, state)
+    pages, scan_bounded, k_files = _prune_and_pushdown(pages, frontier,
+                                                      config, state)
 
     # ---- gates: validity (silent), robots, politeness ----
     f = frontier.where(valid_crawl_url_col(F.col("url"), F.col("base_domain")))
@@ -716,7 +754,8 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     if 0 < state.next_frontier_rows <= 3_000_000:
         succ = F.broadcast(succ)
     enriched = succ.join(pages.select("url", "html", "warc_ts", "lang"), "url")
-    enriched = _coalesce_small_round(enriched, state, scan_bounded)
+    enriched = _coalesce_small_round(enriched, state, scan_bounded,
+                                     k_files)
     extracted = html_text_and_links(enriched, skip_links_col="_skip_links")
     extracted = (extracted.drop("html")  # never checkpoint raw bytes
                  .withColumn("lineage_partition", F.spark_partition_id()))

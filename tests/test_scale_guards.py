@@ -337,25 +337,37 @@ def test_prune_and_pushdown_equals_sequential_gates(spark, tmp_path):
     ]
     for cfg, n, pages in cases:
         st = CrawlState(next_frontier_rows=n)
-        combined, bounded = _prune_and_pushdown(pages, fr, cfg, st)
-        seq, pruned = _prune_pages_by_bucket(pages, fr, cfg, st)
+        combined, bounded, k_files = _prune_and_pushdown(pages, fr, cfg, st)
+        seq, pruned, kb = _prune_pages_by_bucket(pages, fr, cfg, st)
         seq, pushed = _pushdown_small_frontier(seq, fr, st,
                                                cfg.url_pushdown_max)
         assert urls_of(combined) == urls_of(seq), (cfg.pages_buckets,
                                                    cfg.url_pushdown_max, n)
         assert bounded == (pruned or pushed), (cfg.pages_buckets,
                                                cfg.url_pushdown_max, n)
+        # k_files agrees with the standalone prune's kept-bucket count
+        # when pruning applied; a pushdown-only bounded scan over a
+        # bucketed table reports the full bucket count; unbounded -> None
+        if pruned:
+            assert k_files == kb, (k_files, kb, n)
+        elif pushed and "bucket" in pages.columns and cfg.pages_buckets:
+            assert k_files == cfg.pages_buckets
+        elif not bounded:
+            assert k_files is None
     # the both-gates regime actually filters down to the frontier's pages
     # and reports the scan as bounded (the coalesce-gate contract)
     st = CrawlState(next_frontier_rows=10)
-    both, bounded = _prune_and_pushdown(bucketed, fr,
-                                        CrawlConfig(pages_buckets=nb), st)
+    both, bounded, k_files = _prune_and_pushdown(bucketed, fr,
+                                                 CrawlConfig(pages_buckets=nb),
+                                                 st)
     assert both.count() == 10 and bounded
+    assert k_files is not None and k_files <= nb
     # neither-regime: full scan, NOT bounded -> coalesce must not apply
     st_big = CrawlState(next_frontier_rows=10_000)
-    full, bounded = _prune_and_pushdown(bucketed, fr,
-                                        CrawlConfig(pages_buckets=nb), st_big)
-    assert not bounded
+    full, bounded, k_files = _prune_and_pushdown(bucketed, fr,
+                                                 CrawlConfig(pages_buckets=nb),
+                                                 st_big)
+    assert not bounded and k_files is None
 
 
 def test_coalesce_only_when_scan_bounded(spark):
@@ -379,6 +391,17 @@ def test_coalesce_only_when_scan_bounded(spark):
     big = _coalesce_small_round(df, CrawlState(next_frontier_rows=5000),
                                 scan_bounded=True)
     assert big.rdd.getNumPartitions() == 32
+    # k_files floors the task count: a 150-url frontier that still hashes
+    # into 58 bucket files must NOT serialize ~all corpus bytes into 2
+    # tasks (each file may be a fat row group at large page sizes)
+    st150 = CrawlState(next_frontier_rows=150)
+    spread = _coalesce_small_round(df, st150, scan_bounded=True, k_files=58)
+    assert spread.rdd.getNumPartitions() == max(2, 150 // 128, (58 + 1) // 2)
+    # ...while a genuinely tiny scan (8 files) still merges near-empty
+    # Arrow batches
+    tiny = _coalesce_small_round(df, CrawlState(next_frontier_rows=8),
+                                 scan_bounded=True, k_files=8)
+    assert tiny.rdd.getNumPartitions() == 4
 
 
 def test_minhash_family_candidate_quality(spark):

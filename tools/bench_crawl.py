@@ -43,36 +43,40 @@ def main() -> None:
                           extra_conf={
                               "spark.sql.files.maxPartitionBytes": "33554432"})
 
-    # warmup: tiny crawl compiles the round pipeline + spawns workers, on a
-    # BUCKETED tiny corpus with the same config shape as the timed run so
-    # the pruned-scan plans and codegen caches are the ones the timed crawl
-    # will hit
-    from high_performance_parallel_search_engine_spark.sources.tables import (
-        write_bucketed_pages as _wbp,
-    )
-
-    tiny = build_corpus_df(spark, n_hosts=1, pages_per_host=30, n_medium=0,
-                           with_oracle_text=False)
-    tp = tempfile.mkdtemp(prefix="warm_")
-    _wbp(tiny.select("url", "warc_ts", "html", "lang"), tp + "/p",
-         n_buckets=16)
-    wwd = tempfile.mkdtemp(prefix="warm_wd_")
-    run_crawl(spark, spark.read.parquet(tp + "/p"), [page_url(0, 0)], wwd,
-              CrawlConfig(max_depth=depth, max_pages=1 << 40,
-                          failure_stop=1 << 40, arbitration="scale",
-                          max_rounds=depth + 1, trace=False,
-                          pages_buckets=16))
-    shutil.rmtree(tp, ignore_errors=True)
-    shutil.rmtree(wwd, ignore_errors=True)
-
     from high_performance_parallel_search_engine_spark.sources.tables import (
         read_bucketed_pages,
+        write_bucketed_pages as _wbp,
     )
 
     try:
         pages, n_buckets = read_bucketed_pages(spark, corpus_path)
     except FileNotFoundError:
         pages, n_buckets = spark.read.parquet(corpus_path), None
+
+    # warmup: a tiny crawl compiles the round pipeline + spawns workers
+    # BEFORE the clock starts, with the SAME bucket count as the timed
+    # corpus (a 16-bucket warmup against a 64-bucket timed run left the
+    # timed round 1 paying fresh codegen/plan-cache fills - part of the
+    # small-round fixed floor the r4 verdict's scaling task chases). The
+    # 2x300-page tree additionally pushes one frontier past the prune/
+    # pushdown gates (~800 urls > 4*B and > url_pushdown_max), so the
+    # full-scan round shape the timed rounds 3+ hit is compiled too.
+    wb = n_buckets or 16
+    tiny = build_corpus_df(spark, n_hosts=2, pages_per_host=300, n_medium=0,
+                           with_oracle_text=False, link_mode="tree")
+    tp = tempfile.mkdtemp(prefix="warm_")
+    _wbp(tiny.select("url", "warc_ts", "html", "lang"), tp + "/p",
+         n_buckets=wb)
+    wwd = tempfile.mkdtemp(prefix="warm_wd_")
+    warm_pages, _ = read_bucketed_pages(spark, tp + "/p")
+    run_crawl(spark, warm_pages, [page_url(0, 0), page_url(1, 0)], wwd,
+              CrawlConfig(max_depth=depth, max_pages=1 << 40,
+                          failure_stop=1 << 40, arbitration="scale",
+                          max_rounds=depth + 1, trace=False,
+                          pages_buckets=wb))
+    shutil.rmtree(tp, ignore_errors=True)
+    shutil.rmtree(wwd, ignore_errors=True)
+
     # warm the page cache + parquet footers so the timed run measures the
     # engine, not cold disk
     from pyspark.sql import functions as F
