@@ -10,7 +10,7 @@ Phases:
    job at local[N/4] and local[N] on identical input; reports throughput at
    both and efficiency = T_N / (4 * T_{N/4})
 4. same-kernel zero-Spark extraction ceiling at both pinnings
-4b. steady-dominant crawl config (8 hosts, pad 384): whole-crawl N->4N
+4b. steady-dominant crawl config (8 hosts, pad 768): whole-crawl N->4N
    efficiency when the final round dominates the wall (round-4 verdict #7)
 5. long-crawl economics (politeness-stretched, url_seen compaction),
    bracketed by its own co-tenancy controls (round-4 verdict #3)
@@ -801,7 +801,7 @@ def main() -> None:
     # dominated by the steady-state extract regime a 10^10-url crawl
     # actually lives in, instead of the small-round scheduling floor.
     # Reported ALONGSIDE the standard shape (which stays round-comparable).
-    print("phase 4b: steady-dominant crawl (8 hosts, pad 384) at both "
+    print(f"phase 4b: steady-dominant crawl ({STEADY_HOSTS} hosts, pad {STEADY_PAD}) at both "
           "pinnings", file=sys.stderr)
     steady = phase_steady_crawl()
 
