@@ -108,15 +108,17 @@ class CrawlConfig:
     # frontiers. None = unbucketed pages.
     pages_buckets: int | None = None
     # frontiers up to this size push their exact url list into the pages
-    # scan (point-lookup pushdown; see _pushdown_small_frontier). Default
-    # = one JVM-safe In chunk (512): measured the winning regime at bench
-    # scale, where buckets hold single-digit row groups and extra branch
-    # scans cost more than pruning saves (interleaved A/B on the
-    # politeness-stretched long crawl: 40 s without mid-size pushdown vs
-    # 62 s with). Raise toward URL_PUSHDOWN_MAX on corpora whose buckets
-    # span many row groups - the 100 TB regime where O(k)-row-group reads
-    # dominate; any setting stays JVM-safe via <=512-value chunking.
-    url_pushdown_max: int = 512
+    # scan (point-lookup pushdown; see _pushdown_small_frontier). "auto"
+    # (default) resolves ONCE per crawl from the bucket files' sizes
+    # (resolve_pushdown_max): one JVM-safe In chunk (512) when buckets
+    # hold single-digit row groups - there extra branch scans cost more
+    # than they prune (interleaved A/B on the politeness-stretched long
+    # crawl: 40 s without mid-size pushdown vs 62 s with) - and
+    # URL_PUSHDOWN_MAX (4096) when the average bucket file spans many row
+    # groups, the 100 TB regime where O(k)-row-group point reads beat
+    # scanning whole buckets. Any setting stays JVM-safe via <=512-value
+    # chunking; pass an int (or None = JVM max) to pin the regime.
+    url_pushdown_max: int | str | None = "auto"
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in (
@@ -277,15 +279,58 @@ def _want_bucket_prune(pages: DataFrame, config: CrawlConfig,
             and 0 < state.next_frontier_rows <= 4 * B)
 
 
-def _pushdown_cap(max_urls: int | None) -> int:
-    """SHARED pushdown-cap clamp (see _want_bucket_prune note)."""
+def _pushdown_cap(max_urls: int | str | None) -> int:
+    """SHARED pushdown-cap clamp (see _want_bucket_prune note). An
+    unresolved "auto" (config used outside run_crawl, which is where the
+    file-size resolution happens) falls back to the conservative
+    one-chunk cap; None = no user cap beyond the JVM-safe max."""
+    if max_urls == "auto":
+        max_urls = URL_PUSHDOWN_CHUNK
     return min(max_urls if max_urls is not None else URL_PUSHDOWN_MAX,
                URL_PUSHDOWN_MAX)
 
 
-def _want_url_pushdown(max_urls: int | None, state: CrawlState) -> bool:
+def _want_url_pushdown(max_urls: int | str | None,
+                       state: CrawlState) -> bool:
     """SHARED gate predicate for the url In-filter pushdown regime."""
     return 0 < state.next_frontier_rows <= _pushdown_cap(max_urls)
+
+
+# "auto" pushdown-cap resolution: a bucket file at/above this size is
+# assumed to span several parquet row groups (~128 MB = the spark/parquet
+# default row-group target), so In-filter point lookups can actually SKIP
+# row groups inside it and the wide cap wins; below it a bucket is ~one
+# row group, every In branch re-reads the same groups, and the
+# conservative one-chunk cap wins (measured A/B - see the CrawlConfig
+# field comment).
+AUTO_PUSHDOWN_BYTES_PER_BUCKET = 128 * 1024 * 1024
+
+
+def resolve_pushdown_max(pages: DataFrame,
+                         config: CrawlConfig) -> int | None:
+    """Resolve CrawlConfig.url_pushdown_max="auto" to a concrete cap from
+    the pages table's file sizes - driver-side file METADATA only, once
+    per crawl (run_crawl), never per round. Conservative (one-chunk cap)
+    whenever sizes can't be read cheaply: unbucketed table, non-local
+    paths (object stores need a listing API call per file), empty table.
+    An explicit int/None passes through untouched."""
+    if config.url_pushdown_max != "auto":
+        return config.url_pushdown_max
+    if not config.pages_buckets or "bucket" not in pages.columns:
+        return URL_PUSHDOWN_CHUNK
+    import os as _os
+
+    total = 0
+    for f in pages.inputFiles():
+        if not f.startswith("file:"):
+            return URL_PUSHDOWN_CHUNK
+        try:
+            total += _os.path.getsize(f[len("file:"):])
+        except OSError:
+            return URL_PUSHDOWN_CHUNK
+    if total / config.pages_buckets >= AUTO_PUSHDOWN_BYTES_PER_BUCKET:
+        return URL_PUSHDOWN_MAX
+    return URL_PUSHDOWN_CHUNK
 
 
 def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
@@ -912,8 +957,15 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: list[str],
     DESTROYS those checkpoints, so it requires `overwrite=True` - a
     forgotten --resume must not silently erase a long crawl's snapshots."""
     import shutil as _sh
+    from dataclasses import replace as _replace
 
     config = config or CrawlConfig()
+    if config.url_pushdown_max == "auto":
+        # resolve once from file metadata; manifests then carry the
+        # resolved int, so resumes keep the same regime
+        config = _replace(config,
+                          url_pushdown_max=resolve_pushdown_max(pages,
+                                                                config))
     if resume_from is not None:
         marker = Path(workdir) / "_compacted_upto"
         if marker.exists() and resume_from < int(marker.read_text()):

@@ -539,3 +539,65 @@ def test_bm25_df_map_single_job_plan(spark, docs):
     finally:
         postings.unpersist()
         stats.unpersist()
+
+
+def test_auto_pushdown_cap_resolution(spark, tmp_path):
+    """url_pushdown_max="auto" resolves per-corpus from bucket-file sizes:
+    small buckets (~one row group) keep the conservative one-chunk cap;
+    buckets spanning many row groups (the 100 TB regime) get the wide cap
+    so mid-size frontiers become O(k)-row-group point reads instead of
+    whole-bucket scans. Explicit settings pass through untouched."""
+    from high_performance_parallel_search_engine_spark.operators import crawl as C
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df,
+    )
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        read_bucketed_pages,
+        write_bucketed_pages,
+    )
+
+    df = build_corpus_df(spark, n_hosts=2, pages_per_host=40, n_medium=0,
+                         with_oracle_text=False)
+    write_bucketed_pages(df.select("url", "warc_ts", "html", "lang"),
+                         str(tmp_path / "p"), n_buckets=8)
+    pages, nb = read_bucketed_pages(spark, str(tmp_path / "p"))
+
+    cfg = C.CrawlConfig(pages_buckets=nb)  # default url_pushdown_max="auto"
+    # tiny bucket files -> conservative one-chunk cap
+    assert C.resolve_pushdown_max(pages, cfg) == C.URL_PUSHDOWN_CHUNK
+    # same corpus judged against a tiny per-bucket threshold -> wide cap
+    # (monkeypatch the constant rather than writing a 1 GB fixture)
+    orig = C.AUTO_PUSHDOWN_BYTES_PER_BUCKET
+    try:
+        C.AUTO_PUSHDOWN_BYTES_PER_BUCKET = 1
+        assert C.resolve_pushdown_max(pages, cfg) == C.URL_PUSHDOWN_MAX
+    finally:
+        C.AUTO_PUSHDOWN_BYTES_PER_BUCKET = orig
+    # unbucketed table: no bucket layout to prune -> conservative
+    flat = spark.read.parquet(str(tmp_path / "p")).drop("bucket")
+    assert C.resolve_pushdown_max(
+        flat, C.CrawlConfig()) == C.URL_PUSHDOWN_CHUNK
+    # explicit settings pass through (int and None = JVM-safe max)
+    assert C.resolve_pushdown_max(
+        pages, C.CrawlConfig(pages_buckets=nb, url_pushdown_max=7)) == 7
+    assert C.resolve_pushdown_max(
+        pages, C.CrawlConfig(pages_buckets=nb,
+                             url_pushdown_max=None)) is None
+    # an unresolved "auto" reaching the gate clamp (config used outside
+    # run_crawl) behaves like the conservative default
+    assert C._pushdown_cap("auto") == C.URL_PUSHDOWN_CHUNK
+    # run_crawl resolves "auto" into the manifests so resumes keep the
+    # regime: drive a 2-round crawl and read the committed config back
+    import json as _json
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        page_url,
+    )
+
+    wd = str(tmp_path / "wd")
+    C.run_crawl(spark, pages, [page_url(0, 0)], wd,
+                C.CrawlConfig(max_depth=2, max_pages=1 << 40,
+                              failure_stop=1 << 40, arbitration="scale",
+                              max_rounds=2, trace=False, pages_buckets=nb))
+    m = _json.loads(
+        (tmp_path / "wd" / "round=00000" / "manifest.json").read_text())
+    assert m["config"]["url_pushdown_max"] == C.URL_PUSHDOWN_CHUNK
