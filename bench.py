@@ -76,6 +76,13 @@ PAD_PARAS = int(os.environ.get("BENCH_PAD_PARAS", "48"))
 MAX_DEPTH = 4
 N_BUCKETS = int(os.environ.get("BENCH_PAGE_BUCKETS", "64"))
 
+# whole-bench soft wall-clock budget: optional evidence-hardening
+# re-runs (the steady phase's extra pairs) are skipped once the bench has
+# been running this long, so a slow co-tenancy day cannot push the
+# driver's per-round bench call into a timeout
+BENCH_SOFT_BUDGET = int(os.environ.get("BENCH_SOFT_BUDGET", "1800"))
+_BENCH_T0 = time.monotonic()
+
 # run-global co-tenancy reference: fastest busy-loop reading seen so far
 # (a busy loop on an uncontended core is stable at its minimum; anything
 # slower is the host stealing cycles)
@@ -523,6 +530,15 @@ def phase_steady_crawl() -> dict:
             eff = cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
             ceiling = eb["pages_per_sec"] / (4 * es["pages_per_sec"])
             if ceiling and eff / ceiling >= 0.7:
+                break
+            if time.monotonic() - _BENCH_T0 > BENCH_SOFT_BUDGET:
+                # retry pairs are optional evidence-hardening; never let
+                # them push the whole bench past the driver's patience
+                print(f"  [steady-gate] eff_vs_ceiling "
+                      f"{round(eff / ceiling, 3) if ceiling else None} "
+                      f"< 0.7 but bench over soft budget "
+                      f"({BENCH_SOFT_BUDGET}s), recording as-is",
+                      file=sys.stderr)
                 break
             print(f"  [steady-gate] eff_vs_ceiling "
                   f"{round(eff / ceiling, 3) if ceiling else None} < 0.7, "
