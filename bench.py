@@ -216,11 +216,11 @@ def phase_query_warm(spark) -> dict:
         avg_dl = (stats.groupBy().sum("dl").collect()[0][0] or 0) / total
         postings.count()
         dfs = IX.term_df(postings).cache()
-        dfs.count()
         # driver-side {term: df} built once at warm-index time, as the
-        # dashboard's EngineState does - candidate resolution is then a
-        # dict lookup and each warm query is ONE Spark job (df_map path)
-        df_map = dict((r["term"], r["df"]) for r in dfs.collect())
+        # dashboard's EngineState does (shared contract: IX.term_df_map) -
+        # candidate resolution is then a dict lookup and each warm query
+        # is ONE Spark job (df_map path)
+        df_map = IX.term_df_map(dfs)
         with RK.interactive_query_conf(spark):
             RK.rank_bm25(postings, stats, "spark join window stream",
                          total_docs=total, avg_dl=avg_dl,
@@ -513,22 +513,31 @@ def phase_steady_crawl() -> dict:
                          n_buckets=N_BUCKETS)
     spark.stop()
 
+    def best_metrics(pairs_big, pairs_small):
+        """Best crawl + best ceiling per level -> (cb, cs, eff, ceiling);
+        zero-guarded like main()'s scaling block (a 0-page crawl must
+        degrade the reading, not crash phases 5-7 out of the artifact)."""
+        cb = min((p["crawl"] for p in pairs_big),
+                 key=lambda r: r["wall_sec"])
+        cs = min((p["crawl"] for p in pairs_small),
+                 key=lambda r: r["wall_sec"])
+        eb = max((p["ceil"] for p in pairs_big),
+                 key=lambda c: c["pages_per_sec"])
+        es = max((p["ceil"] for p in pairs_small),
+                 key=lambda c: c["pages_per_sec"])
+        eff = (cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
+               if cs["urls_per_sec"] else 0.0)
+        ceiling = (eb["pages_per_sec"] / (4 * es["pages_per_sec"])
+                   if es["pages_per_sec"] else 0.0)
+        return cb, cs, eff, ceiling
+
     try:
         pairs_big = [run_pair(CPUS, path, None, ceiling_cap=20_000,
                               shape=shape)]
         pairs_small = [run_pair(SMALL_CPUS, path, SMALL_CPUS,
                                 ceiling_cap=20_000, shape=shape)]
+        cb, cs, eff, ceiling = best_metrics(pairs_big, pairs_small)
         for _ in range(2):
-            cb = min((p["crawl"] for p in pairs_big),
-                     key=lambda r: r["wall_sec"])
-            cs = min((p["crawl"] for p in pairs_small),
-                     key=lambda r: r["wall_sec"])
-            eb = max((p["ceil"] for p in pairs_big),
-                     key=lambda c: c["pages_per_sec"])
-            es = max((p["ceil"] for p in pairs_small),
-                     key=lambda c: c["pages_per_sec"])
-            eff = cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
-            ceiling = eb["pages_per_sec"] / (4 * es["pages_per_sec"])
             if ceiling and eff / ceiling >= 0.7:
                 break
             if time.monotonic() - _BENCH_T0 > BENCH_SOFT_BUDGET:
@@ -547,16 +556,7 @@ def phase_steady_crawl() -> dict:
                                       shape=shape))
             pairs_small.append(run_pair(SMALL_CPUS, path, SMALL_CPUS,
                                         ceiling_cap=20_000, shape=shape))
-            cb = min((p["crawl"] for p in pairs_big),
-                     key=lambda r: r["wall_sec"])
-            cs = min((p["crawl"] for p in pairs_small),
-                     key=lambda r: r["wall_sec"])
-            eb = max((p["ceil"] for p in pairs_big),
-                     key=lambda c: c["pages_per_sec"])
-            es = max((p["ceil"] for p in pairs_small),
-                     key=lambda c: c["pages_per_sec"])
-            eff = cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
-            ceiling = eb["pages_per_sec"] / (4 * es["pages_per_sec"])
+            cb, cs, eff, ceiling = best_metrics(pairs_big, pairs_small)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     out = {
@@ -645,6 +645,21 @@ def phase_sf1_probe(spark) -> dict:
     return out
 
 
+def query_def_fingerprints() -> dict[str, str]:
+    """Short fingerprint of each HEADLINE gate's oracle SQL - the stable
+    statement of WHAT the gate computes. Recorded in bench_full.json so a
+    later round's speedup_vs_baseline can refuse to compare a gate whose
+    definition changed (same spirit as the crawl-shape check)."""
+    import hashlib
+
+    from high_performance_parallel_search_engine_spark.oracles import (
+        ORACLES,
+    )
+
+    return {n: hashlib.sha256(ORACLES[n].encode()).hexdigest()[:8]
+            for n in HEADLINE if n in ORACLES}
+
+
 def speedup_vs_baseline(timings: dict, crawl_big: dict) -> dict | None:
     """The reference persists a baseline metrics CSV and prints speedup
     ratios against it on every run (Serial Version/src/benchmark.c:10-91,
@@ -673,12 +688,24 @@ def speedup_vs_baseline(timings: dict, crawl_big: dict) -> dict | None:
             break
     if base is None:
         return None
+    # gate-definition guard: a query gate whose ORACLE SQL changed between
+    # rounds measures different work, so its wall is incomparable with the
+    # recorded baseline (the crawl side already refuses shape mismatches
+    # below; r5 found url_normalize silently absorbing two merged gates).
+    # Older baselines carry no fingerprints - then everything compares,
+    # as before - but every run from now on records its own.
+    defs_now = query_def_fingerprints()
+    defs_base = base.get("query_defs") or {}
+    redefined = sorted(n for n in timings
+                       if n in defs_base and defs_base[n] != defs_now.get(n))
     ratios = {}
     for name, sec in timings.items():
         b = base.get("queries", {}).get(name)
-        if b and sec:
+        if b and sec and name not in redefined:
             ratios[name] = round(b / sec, 2)
     out = {"baseline_run": os.path.basename(base_run), "queries": ratios}
+    if redefined:
+        out["skipped_redefined"] = redefined
     if ratios:
         vals = sorted(ratios.values())
         out["q_median"] = round(statistics.median(vals), 2)
@@ -812,10 +839,12 @@ def main() -> None:
         if ceil_small["pages_per_sec"] else 0.0
 
     # --- phase 4b: steady-dominant crawl config (round-4 verdict #7): the
-    # same BFS job over a corpus whose final round carries ~6x the
-    # extraction bytes (pad_paras 384 vs 48), so the whole-crawl wall is
-    # dominated by the steady-state extract regime a 10^10-url crawl
-    # actually lives in, instead of the small-round scheduling floor.
+    # same BFS job over a corpus whose final round carries ~12x the
+    # extraction bytes (pad_paras STEADY_PAD=768 vs 48), so the
+    # whole-crawl wall is dominated by the steady-state extract regime a
+    # 10^10-url crawl actually lives in, instead of the small-round
+    # scheduling floor (384 was tried first and left no margin - see
+    # phase_steady_crawl's docstring).
     # Reported ALONGSIDE the standard shape (which stays round-comparable).
     print(f"phase 4b: steady-dominant crawl ({STEADY_HOSTS} hosts, pad {STEADY_PAD}) at both "
           "pinnings", file=sys.stderr)
@@ -915,6 +944,7 @@ def main() -> None:
         "value": total, "unit": "sec",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "queries": timings,
+        "query_defs": query_def_fingerprints(),
         "query_phase_control": query_control,
         "query_warm": query_warm,
         "speedup_vs_baseline": speedup,

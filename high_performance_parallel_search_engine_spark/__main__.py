@@ -209,7 +209,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.query or args.interactive or args.save_baseline:
         docs = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
-        from .operators.index import term_df
+        from .operators.index import term_df, term_df_map
 
         t1 = time.perf_counter()
         postings = build_postings(docs).cache()
@@ -219,11 +219,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   if total else 0.0)
         postings.count()  # warm the cached index once; queries reuse it
         dfs = term_df(postings).cache()
-        vocab = dfs.count()
-        # driver-side {term: df} while the vocab fits (see api.EngineState):
-        # each interactive query is then ONE Spark job
-        df_map = (dict((r["term"], r["df"]) for r in dfs.collect())
-                  if vocab <= 2_000_000 else None)
+        # driver-side {term: df} while the vocab fits (shared contract:
+        # operators.index.term_df_map): each interactive query is then
+        # ONE Spark job
+        df_map = term_df_map(dfs)
         phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
         print(f"Indexed {total} documents.")
 

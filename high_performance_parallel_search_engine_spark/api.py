@@ -160,7 +160,9 @@ class EngineState:
     def _build_index(self):
         from pyspark.sql import functions as F
 
-        from .operators.index import build_index_tables, term_df
+        from .operators.index import (
+            build_index_tables, term_df, term_df_map,
+        )
 
         docs = (self.spark.read
                 .parquet(f"{self.workdir}/round=*/pages.parquet")
@@ -174,17 +176,18 @@ class EngineState:
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)
         postings.count()
-        # (term, df) cached once at build: every search then skips the
-        # per-query df aggregation (rank_bm25 df_table warm path)
-        dfs = term_df(postings).cache()
+        # (term, df) built once per index. Small vocab: collected to a
+        # driver-side {term: df} and every warm query is ONE Spark job
+        # (rank_bm25 df_map path) - the TABLE is then never queried, so it
+        # is NOT cached (a vocab-sized cache pinned for the index lifetime
+        # would serve nothing). Big vocab: the table is cached and serves
+        # the unbounded df_table path (identical results).
+        dfs = term_df(postings)
         vocab = dfs.count()
-        # driver-side {term: df} while the vocabulary fits the driver
-        # (<= 2M terms ~ tens of MB): candidate resolution + fallback
-        # preference become dict lookups and a warm query is ONE Spark job
-        # (rank_bm25 df_map path). Past the cap the cached vocab TABLE
-        # serves unbounded corpora (df_table path, identical results).
-        df_map = (dict((r["term"], r["df"]) for r in dfs.collect())
-                  if vocab <= 2_000_000 else None)
+        df_map = term_df_map(dfs, vocab)
+        if df_map is None:
+            dfs = dfs.cache()
+            dfs.count()
         # urls stay a DataFrame: resolving a top-k result joins k rows
         # against it (broadcast on the k side), so nothing doc-count-sized
         # ever crosses to the driver - a 10^9-doc corpus serves the same way
@@ -276,9 +279,13 @@ class EngineState:
         ix = self._acquire_index()
         try:
             t0 = time.perf_counter()
+            # fallback=True: a batched query must return the same hits as
+            # the same query sent through single /api/search (which applies
+            # the OpenMP plural/singular retry)
             hits = rank_bm25_batch(ix["postings"], ix["stats"], queries,
                                    total_docs=ix["total"],
                                    avg_dl=ix["avg_dl"], top_k=limit,
+                                   fallback=True,
                                    df_table=(None if ix["df_map"] is not None
                                              else ix["term_df"]),
                                    df_map=ix["df_map"])

@@ -335,7 +335,8 @@ def resolve_pushdown_max(pages: DataFrame,
 
 def _prune_pages_by_bucket(pages: DataFrame, frontier: DataFrame,
                            config: CrawlConfig,
-                           state: CrawlState) -> tuple[DataFrame, bool]:
+                           state: CrawlState) -> tuple[DataFrame, bool,
+                                                       int | None]:
     """Partition-prune a bucket-partitioned pages table (sources/tables.py
     write_bucketed_pages) to the frontier's buckets. Semantics-neutral: a
     pruned page can never match the fetch join (its bucket holds no frontier

@@ -114,3 +114,25 @@ def corpus_stats(docs: DataFrame, **kw) -> DataFrame:
 def term_df(postings: DataFrame) -> DataFrame:
     """(term, df) document frequency (ranking.c:54)."""
     return postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+# vocabulary cap for the driver-side {term: df} map: ~2M terms is tens of
+# MB of driver dict; past it the (term, df) TABLE keeps serving unbounded
+# vocabularies (rank_bm25's df_table path, identical results)
+DF_MAP_MAX_VOCAB = 2_000_000
+
+
+def term_df_map(dfs: DataFrame, vocab: int | None = None,
+                max_vocab: int = DF_MAP_MAX_VOCAB) -> dict | None:
+    """Driver-side {term: df} from a (term, df) table, or None when the
+    vocabulary exceeds max_vocab. The ONE definition of the warm-query
+    df_map contract shared by the dashboard (api.EngineState), the CLI
+    interactive mode and bench.py - candidate resolution and the
+    plural/singular fallback preference then run as dict lookups, making
+    a warm query a single Spark job (rank_bm25's df_map path). Pass the
+    already-known vocab count to skip the extra count job."""
+    if vocab is None:
+        vocab = dfs.count()
+    if vocab > max_vocab:
+        return None
+    return {r["term"]: r["df"] for r in dfs.collect()}

@@ -26,12 +26,25 @@ present (the C breaks out of the scan before trying the alternative).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernel.text import BM25_B, BM25_K1, DEFAULT_STOPWORDS, stem_serial
+
+
+# interactive_query_conf touches SESSION-GLOBAL conf, and the dashboard's
+# ThreadingHTTPServer serves /api/search concurrently: without
+# coordination, interleaved enter/exit pairs restore each other's
+# "previous" values and can leave the session permanently clamped to the
+# interactive settings (thread A saves 32->sets 4, B saves 4, A restores
+# 32, B restores 4). Refcount under a lock: the FIRST entrant saves and
+# sets, the LAST exitor restores; concurrent entrants share the first
+# entrant's clamp (they want the same interactive profile anyway).
+_IQC_LOCK = threading.Lock()
+_IQC_STATE: dict = {"depth": 0, "prev": None, "prev_sp": None}
 
 
 @contextmanager
@@ -47,16 +60,28 @@ def interactive_query_conf(spark, shuffle_partitions: int = 4):
     per query, and with AQE off the session default (32+) schedules that
     many near-empty reduce tasks per query - pure per-task launch overhead
     at interactive latencies. Batch/ETL paths outside this context keep the
-    full width."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    full width. Concurrency-safe via a process-wide refcount (see
+    _IQC_STATE note) - safe for the threaded dashboard server."""
+    with _IQC_LOCK:
+        if _IQC_STATE["depth"] == 0:
+            _IQC_STATE["prev"] = spark.conf.get(
+                "spark.sql.adaptive.enabled", "true")
+            _IQC_STATE["prev_sp"] = spark.conf.get(
+                "spark.sql.shuffle.partitions", "200")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(shuffle_partitions))
+        _IQC_STATE["depth"] += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        with _IQC_LOCK:
+            _IQC_STATE["depth"] -= 1
+            if _IQC_STATE["depth"] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled",
+                               _IQC_STATE["prev"])
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               _IQC_STATE["prev_sp"])
 
 
 def query_terms(query: str, stopwords=DEFAULT_STOPWORDS, stem=stem_serial) -> list[str]:
@@ -232,6 +257,7 @@ def _score_candidates(postings: DataFrame, doc_stats: DataFrame,
 def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
                     queries: list[str], total_docs: int | None = None,
                     top_k: int = 5, stopwords=DEFAULT_STOPWORDS,
+                    fallback: bool = False,
                     avg_dl: float | None = None,
                     df_table: DataFrame | None = None,
                     df_map: dict | None = None) -> DataFrame:
@@ -244,7 +270,11 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
     scan once; per-query df rides the same aggregate; per-query top-k is a
     window over query_id. A thousand queries cost one postings pass, not a
     thousand - the batch-scoring shape of the reference's GPU variant
-    (Super Hybrid Version/src/cuda_kernels.cu:211-321) on the JVM."""
+    (Super Hybrid Version/src/cuda_kernels.cu:211-321) on the JVM.
+
+    fallback=True applies the same OpenMP plural/singular retry as
+    rank_bm25 per (query, position) - a batched query must rank exactly
+    like the same query sent alone (the dashboard serves both forms)."""
     spark = postings.sparkSession
     if total_docs is None or avg_dl is None:
         # one job for both corpus stats (doc_stats has one row per doc)
@@ -268,26 +298,50 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
 
     if df_map is not None and df_table is None:
         # driver-side df resolution (see rank_bm25.df_map): the batch plan
-        # collapses to one job - postings x broadcast(literal candidates)
-        rows = [(qid, i, t, df_map[t]) for qid, i, t in cands
-                if t in df_map]
+        # collapses to one job - postings x broadcast(literal candidates).
+        # Fallback is a dict lookup per position, primary beats retry.
+        rows = []
+        for qid, i, t in cands:
+            d = df_map.get(t)
+            if d is None and fallback:
+                a = alt_term(t)
+                if a is not None and a in df_map:
+                    t, d = a, df_map[a]
+            if d:
+                rows.append((qid, i, t, d))
         if not rows:
             return empty
         df_tbl = spark.createDataFrame(
             rows, "query_id int, qpos int, term string, df long")
         return _score_candidates_batch(postings, doc_stats, df_tbl,
                                        total_docs, avg_dl, top_k)
-    cdf = spark.createDataFrame(cands, "query_id int, qpos int, term string")
+    # candidate table with preference: pref 0 = the term itself, pref 1 =
+    # the plural/singular retry (mirrors rank_bm25)
+    prefd = [(qid, i, t, 0) for qid, i, t in cands]
+    if fallback:
+        for qid, i, t in cands:
+            a = alt_term(t)
+            if a is not None:
+                prefd.append((qid, i, a, 1))
+    cdf = spark.createDataFrame(
+        prefd, "query_id int, qpos int, term string, pref int")
 
     if df_table is not None:
         # warm-index batch path: same trade as rank_bm25's df_table - a
         # vocab-table lookup instead of a second postings scan for df
         df_tbl = (df_table.join(F.broadcast(cdf), "term")
-                  .select("query_id", "qpos", "term", "df"))
+                  .select("query_id", "qpos", "term", "df", "pref"))
     else:
         df_tbl = (postings.join(F.broadcast(cdf), "term")
-                  .groupBy("query_id", "qpos", "term")
+                  .groupBy("query_id", "qpos", "term", "pref")
                   .agg(F.countDistinct("doc_id").alias("df")))
+    if fallback:
+        # per (query, position) keep the best-preference candidate present
+        # in the index (primary beats retry - the C's early break)
+        wq = Window.partitionBy("query_id", "qpos")
+        df_tbl = (df_tbl.withColumn("_minpref", F.min("pref").over(wq))
+                  .where(F.col("pref") == F.col("_minpref")))
+    df_tbl = df_tbl.select("query_id", "qpos", "term", "df")
     return _score_candidates_batch(postings, doc_stats, df_tbl, total_docs,
                                    avg_dl, top_k)
 

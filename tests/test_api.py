@@ -85,6 +85,14 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         # batch result for a query == the single-query ranking
         assert ([r["doc_id"] for r in b["results"][0]["results"]]
                 == [r["doc_id"] for r in s["results"]])
+        # ...including when only the plural/singular fallback resolves the
+        # term (single /api/search uses fallback=True; the batch form must
+        # rank identically - it silently skipped the retry before r5)
+        code, sf = _post(port, "/api/search", {"query": "bm25s", "limit": 5})
+        code, bf = _post(port, "/api/search",
+                         {"queries": ["bm25s"], "limit": 5})
+        assert ([r["doc_id"] for r in bf["results"][0]["results"]]
+                == [r["doc_id"] for r in sf["results"]])
         code, berr = _post(port, "/api/search", {"queries": []})
         assert code == 400 and berr["status"] == "error"
 

@@ -514,6 +514,23 @@ def test_bm25_df_map_path_matches_df_table_and_cold(spark, docs):
                                df_map=df_map).collect()
     assert bkey(b_cold) == bkey(b_tbl) == bkey(b_map)
 
+    # batch fallback parity (the /api/search batch form must rank each
+    # query exactly like the single form, which uses fallback=True):
+    # per-query batch results == the single-query results, on queries
+    # where only the plural/singular retry resolves
+    fb_queries = ["joins windows", "join windows", "spark streams",
+                  "absent absent"]
+    for path in ({"df_table": dfs}, {"df_map": df_map}, {}):
+        got = RK.rank_bm25_batch(postings, stats, fb_queries, top_k=5,
+                                 fallback=True, **path).collect()
+        for qid, q in enumerate(fb_queries):
+            single = RK.rank_bm25(postings, stats, q, top_k=5,
+                                  fallback=True, **path).collect()
+            mine = sorted(((r["rk"], r["doc_id"], round(r["score"], 9))
+                           for r in got if r["query_id"] == qid))
+            assert mine == [(i + 1, r["doc_id"], round(r["score"], 9))
+                            for i, r in enumerate(single)], (q, path.keys())
+
 
 def test_bm25_df_map_single_job_plan(spark, docs):
     """df_map path over a warm (cached) index, as EngineState serves it:
@@ -601,3 +618,33 @@ def test_auto_pushdown_cap_resolution(spark, tmp_path):
     m = _json.loads(
         (tmp_path / "wd" / "round=00000" / "manifest.json").read_text())
     assert m["config"]["url_pushdown_max"] == C.URL_PUSHDOWN_CHUNK
+
+
+def test_interactive_query_conf_concurrent_restore(spark):
+    """Session-global conf clamp must survive interleaved enter/exit from
+    the threaded dashboard server: with naive save/restore, thread B's
+    saved 'previous' is thread A's clamped value and the session ends up
+    permanently clamped (r5 review finding). The refcounted form restores
+    the ORIGINAL conf once the last context exits."""
+    import threading as th
+
+    from high_performance_parallel_search_engine_spark.operators.ranking import (
+        interactive_query_conf,
+    )
+
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    inside = th.Barrier(2)
+
+    def worker():
+        with interactive_query_conf(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            inside.wait(timeout=30)  # both threads inside simultaneously
+
+    ts = [th.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig_sp
+    assert spark.conf.get("spark.sql.adaptive.enabled") == orig_aqe
