@@ -116,7 +116,7 @@ def test_compact_line_fits_driver_tail_capture():
                            "ctl": [0.821, 0.716, 0]},
         "steady_crawl": {"shape": "8x6175x384", "ups_small": 701.2,
                          "ups_big": 1701.9, "eff": 0.607, "ceil": 0.655,
-                         "eff_vs_ceil": 0.927},
+                         "eff_vs_ceil": 0.927, "clean": True},
         "sf1": {"growth": {"minhash": 9.1, "ngram": 11.4,
                            "components": 8.8, "cosine": 12.2},
                 "sf1_walls": {"minhash": 14.21, "ngram": 27.93,
@@ -171,6 +171,7 @@ def test_compact_line_fits_driver_tail_capture():
     assert "ctl" in compact["crawl_priority"]
     assert "growth" in compact["sf1"]
     assert "eff_vs_ceil" in compact["steady_crawl"]
+    assert "clean" in compact["steady_crawl"]
     for key in ("extract_stage_vs_kernel_big", "steady_eff_n_to_4n",
                 "steady_vs_ceiling", "efficiency_n_to_4n"):
         assert key in compact["scaling"]
@@ -196,6 +197,24 @@ def test_steady_state_eff_uses_best_extract_walls():
     # degrades gracefully on missing stage data / ceiling
     assert bench._steady_state_eff({}, big, 0.614) == {}
     assert "steady_vs_ceiling" not in bench._steady_state_eff(small, big, 0.0)
+
+
+def test_selected_controls_clean_flags_excursions():
+    """The steady phase's clean flag reflects the four SELECTED readings'
+    bracket controls vs the run reference — a 4.6x excursion on any one
+    of them (the round-5 run-C failure mode) marks the phase dirty, and
+    absent controls are never presented as clean."""
+    saved = bench._CTL_REF
+    try:
+        bench._CTL_REF = 0.7
+        ok = {"ctl": {"before": 0.72, "after": 0.8}}
+        dirty = {"ctl": {"before": 0.73, "after": 4.59}}
+        assert bench._selected_controls_clean(ok, ok, ok, ok)
+        assert not bench._selected_controls_clean(ok, ok, ok, dirty)
+        assert not bench._selected_controls_clean({}, {})
+        assert not bench._selected_controls_clean({"ctl": None}, ok)
+    finally:
+        bench._CTL_REF = saved
 
 
 def test_shape_str():
