@@ -221,6 +221,14 @@ def phase_query_warm(spark) -> dict:
         # candidate resolution is then a dict lookup and each warm query
         # is ONE Spark job (df_map path)
         df_map = IX.term_df_map(dfs)
+        # the dashboard's actual serving path for indices under the
+        # collect cap: in-process numpy posting lists, ZERO Spark jobs
+        # per query (operators.local_serve; parity-tested vs rank_bm25)
+        from high_performance_parallel_search_engine_spark.operators import (
+            local_serve as LS,
+        )
+        local_ix = LS.build_local_index(postings, stats, total_docs=total,
+                                        avg_dl=avg_dl)
         with RK.interactive_query_conf(spark):
             RK.rank_bm25(postings, stats, "spark join window stream",
                          total_docs=total, avg_dl=avg_dl,
@@ -247,6 +255,19 @@ def phase_query_warm(spark) -> dict:
         out[label] = {"median_ms": round(statistics.median(times), 1),
                       "min_ms": round(min(times), 1),
                       "batch_8q_ms": round(statistics.median(btimes), 1)}
+        if local_ix is not None:
+            local_ix.rank("spark join window stream", top_k=10)  # warm
+            ltimes = []
+            for _ in range(5):
+                t0 = time.monotonic()
+                local_ix.rank("spark join window stream", top_k=10)
+                ltimes.append((time.monotonic() - t0) * 1000)
+            t0 = time.monotonic()
+            local_ix.rank_batch(batch_queries, top_k=10)
+            lbatch = (time.monotonic() - t0) * 1000
+            out[label]["local_median_ms"] = round(
+                statistics.median(ltimes), 3)
+            out[label]["local_batch_8q_ms"] = round(lbatch, 3)
         postings.unpersist()
         stats.unpersist()
         dfs.unpersist()
@@ -327,27 +348,54 @@ def _pair_stage_ratio(crawl: dict, ceil: dict) -> float | None:
     return round(ceil["pages_per_sec"] / (final_pages / final_wall), 3)
 
 
+def _best_crawl_of(pairs: list[dict]) -> dict:
+    """Fastest crawl among pairs whose own bracket controls are clean,
+    falling back to fastest-overall only when no clean reading exists. A
+    co-tenancy excursion during the fastest run must not decide the
+    official scaling block while a clean-window reading is on hand (run-E
+    failure mode: the control retry could never flip the flag because
+    selection ignored cleanliness — an added clean pair only got selected
+    if it also happened to be faster)."""
+    crawls = [p["crawl"] for p in pairs]
+    clean = [r for r in crawls if _selected_controls_clean(r)]
+    return min(clean or crawls, key=lambda r: r["wall_sec"])
+
+
+def _best_ceil_of(pairs: list[dict]) -> dict:
+    """Fastest kernel ceiling, preferring clean-bracketed readings (same
+    rule as _best_crawl_of — a dirty-window ceiling skews the ratio in
+    the opposite direction from a dirty crawl)."""
+    ceils = [p["ceil"] for p in pairs]
+    clean = [c for c in ceils if _selected_controls_clean(c)]
+    return max(clean or ceils, key=lambda c: c.get("pages_per_sec") or 0)
+
+
 def paired_level(n_pairs: int, threads: int, corpus_path: str,
                  pin: int | None, label: str) -> tuple[dict, dict, dict]:
     """n crawl+ceiling pairs at one parallelism level. Throughput headline
-    = fastest crawl; kernel ceiling = fastest ceiling; stage ratio = best
-    SAME-PAIR ratio. Gates: one extra pair if the best crawl's bracket
-    controls flag co-tenancy; up to two extra pairs while the best
-    same-pair ratio misses the <=1.25 target (a single bad window must not
-    produce a misleading official artifact - r3/r4 verdicts)."""
+    = fastest clean-bracketed crawl (fallback: fastest overall); kernel
+    ceiling likewise; stage ratio = best SAME-PAIR ratio. Gates: up to
+    two extra pairs (soft-budget capped) while the selected crawl or
+    ceiling bracket controls are dirty; up to two extra pairs while the
+    best same-pair ratio misses the <=1.25 target (a single bad window
+    must not produce a misleading official artifact - r3/r4 verdicts)."""
     pairs = [run_pair(threads, corpus_path, pin) for _ in range(n_pairs)]
 
-    def best_crawl():
-        return min((p["crawl"] for p in pairs), key=lambda r: r["wall_sec"])
-
     extra = 0
-    b = best_crawl()
-    if not (ctl_ok(b["ctl"]["before"]) and ctl_ok(b["ctl"]["after"])):
-        print(f"  [ctl-gate] crawl local[{threads}] {label}: best-run "
-              f"controls {b['ctl']} vs ref {_CTL_REF}, one extra pair",
-              file=sys.stderr)
+    for attempt in range(2):
+        b, e = _best_crawl_of(pairs), _best_ceil_of(pairs)
+        if _selected_controls_clean(b) and _selected_controls_clean(e):
+            break
+        if time.monotonic() - _BENCH_T0 > BENCH_SOFT_BUDGET:
+            print(f"  [ctl-gate] {label}: selected readings dirty but bench "
+                  f"over soft budget ({BENCH_SOFT_BUDGET}s), recording as-is",
+                  file=sys.stderr)
+            break
+        print(f"  [ctl-gate] crawl local[{threads}] {label}: selected crawl "
+              f"ctl {b.get('ctl')} / ceiling ctl {e.get('ctl')} vs ref "
+              f"{_CTL_REF}, extra pair {attempt + 1}/2", file=sys.stderr)
         pairs.append(run_pair(threads, corpus_path, pin))
-        extra = 1
+        extra += 1
     for attempt in range(2):
         ratios = [p["ratio"] for p in pairs if p["ratio"] is not None]
         if not ratios or min(ratios) <= 1.25:
@@ -356,14 +404,13 @@ def paired_level(n_pairs: int, threads: int, corpus_path: str,
               f"extract_stage_vs_kernel {min(ratios)} > 1.25, extra pair "
               f"{attempt + 1}/2", file=sys.stderr)
         pairs.append(run_pair(threads, corpus_path, pin))
-    crawl = dict(best_crawl())
+    crawl = dict(_best_crawl_of(pairs))
     crawl["all_walls"] = [p["crawl"]["wall_sec"] for p in pairs]
     crawl["ctl_reran"] = extra
     ew = [w for w in (_final_extract_wall(p["crawl"]) for p in pairs) if w]
     if ew:  # best stage wall across the level's runs (steady-state figure)
         crawl["best_extract_wall"] = min(ew)
-    ceil = max((p["ceil"] for p in pairs),
-               key=lambda c: c.get("pages_per_sec") or 0)
+    ceil = _best_ceil_of(pairs)
     ratios = [p["ratio"] for p in pairs if p["ratio"] is not None]
     gate = {"same_pair_ratios": ratios,
             "best_same_pair_ratio": min(ratios) if ratios else None,
@@ -535,17 +582,13 @@ def phase_steady_crawl() -> dict:
     spark.stop()
 
     def best_metrics(pairs_big, pairs_small):
-        """Best crawl + best ceiling per level -> (cb, cs, eff, ceiling);
+        """Best crawl + best ceiling per level, preferring clean-bracketed
+        readings (so a retry pair taken for cleanliness can actually
+        replace the dirty selection) -> (cb, cs, eff, ceiling);
         zero-guarded like main()'s scaling block (a 0-page crawl must
         degrade the reading, not crash phases 5-7 out of the artifact)."""
-        cb = min((p["crawl"] for p in pairs_big),
-                 key=lambda r: r["wall_sec"])
-        cs = min((p["crawl"] for p in pairs_small),
-                 key=lambda r: r["wall_sec"])
-        eb = max((p["ceil"] for p in pairs_big),
-                 key=lambda c: c["pages_per_sec"])
-        es = max((p["ceil"] for p in pairs_small),
-                 key=lambda c: c["pages_per_sec"])
+        cb, cs = _best_crawl_of(pairs_big), _best_crawl_of(pairs_small)
+        eb, es = _best_ceil_of(pairs_big), _best_ceil_of(pairs_small)
         eff = (cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
                if cs["urls_per_sec"] else 0.0)
         ceiling = (eb["pages_per_sec"] / (4 * es["pages_per_sec"])
@@ -854,10 +897,12 @@ def main() -> None:
 
     # --- phases 2+3+4: same crawl job, same input, N vs 4N cores (pinned),
     # each crawl run PAIRED with a same-window kernel-ceiling run so the
-    # stage-vs-kernel ratio is a same-pair comparison (ADVICE r4). Best-of
-    # per level damps the VM's run-to-run CPU fluctuation; the control gate
-    # adds a pair when the best run's own controls flag co-tenancy, the
-    # stage gate adds up to two while the best same-pair ratio misses 1.25.
+    # stage-vs-kernel ratio is a same-pair comparison (ADVICE r4). Selection
+    # per level = fastest among clean-bracketed readings (fallback: fastest
+    # overall), damping the VM's run-to-run CPU fluctuation; the control
+    # gate adds up to two pairs (soft-budget capped) while the selected
+    # readings' controls flag co-tenancy, the stage gate adds up to two
+    # while the best same-pair ratio misses 1.25.
     print(f"phase 2: crawl+ceiling pairs at local[{CPUS}] on {CPUS} cores "
           f"(3 pairs)", file=sys.stderr)
     crawl_big, ceil_big, gate_big = paired_level(
@@ -1027,11 +1072,14 @@ def main() -> None:
         "steady_crawl": steady_summary,
         "sf1": sf1_summary,
         # compact forms: warm-latency keys shortened ([full names in
-        # bench_full.json]: med=median_ms, min=min_ms, batch8=batch_8q_ms),
+        # bench_full.json]: med=median_ms, min=min_ms, batch8=batch_8q_ms,
+        # loc=local_median_ms - the in-process serving path),
         # query medians to 2 dp, n_small/n_big implied by the crawl keys,
         # query_phase_control = [before, after, ref, reran, clean]
         "query_warm": {lbl: {"med": v["median_ms"], "min": v["min_ms"],
-                             "batch8": v["batch_8q_ms"]}
+                             "batch8": v["batch_8q_ms"],
+                             **({"loc": v["local_median_ms"]}
+                                if "local_median_ms" in v else {})}
                        for lbl, v in query_warm.items()},
         "speedup_vs_baseline": (
             {k: v for k, v in speedup.items() if k != "queries"}
@@ -1066,6 +1114,10 @@ def main() -> None:
     if len(line) > 1800:  # steady eff/ceil carry the claim; walls in full
         compact["steady_crawl"].pop("ups_small", None)
         compact["steady_crawl"].pop("ups_big", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # med/batch8/loc carry the warm-latency claim
+        for v in compact.get("query_warm", {}).values():
+            v.pop("min", None)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # derivable next round from both queries dicts
         compact.pop("speedup_vs_baseline", None)

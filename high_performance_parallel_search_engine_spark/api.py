@@ -133,6 +133,13 @@ refreshStatus();
 """
 
 
+# Doc-count gate for the local serving path's doc_id->url dict (the
+# postings-row gate lives in operators.local_serve): ~2M urls is ~200 MB
+# of driver dict; past it results resolve through the broadcast join
+# against the cached urls DataFrame as before.
+_LOCAL_URLMAP_MAX_DOCS = 2_000_000
+
+
 class EngineState:
     """Lazily builds and caches the query index over the workdir's crawled
     pages; a crawl through /api/crawl invalidates it.
@@ -175,7 +182,7 @@ class EngineState:
         total = stats.count()
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)
-        postings.count()
+        n_postings = postings.count()  # also materializes the cache
         # (term, df) built once per index. Small vocab: collected to a
         # driver-side {term: df} and every warm query is ONE Spark job
         # (rank_bm25 df_map path) - the TABLE is then never queried, so it
@@ -193,9 +200,23 @@ class EngineState:
         # ever crosses to the driver - a 10^9-doc corpus serves the same way
         urls = docs.select("doc_id", "url").cache()
         urls.count()
+        # Local serving path (operators.local_serve): an index that fits
+        # one node's memory is collected ONCE and every query is served
+        # in-process (the reference's own serving model, ranking.c) - no
+        # Spark job on the query path. Gated twice: postings rows under
+        # the collect cap AND doc count small enough that the doc_id->url
+        # map stays a driver-trivia dict; past either gate, local is None
+        # and the distributed path above serves identically.
+        local = url_map = None
+        if total <= _LOCAL_URLMAP_MAX_DOCS:
+            from .operators.local_serve import build_local_index
+            local = build_local_index(postings, stats, total_docs=total,
+                                      avg_dl=avg_dl, n_postings=n_postings)
+            if local is not None:
+                url_map = {r["doc_id"]: r["url"] for r in urls.collect()}
         return {"postings": postings, "stats": stats, "total": total,
                 "avg_dl": avg_dl, "urls": urls, "term_df": dfs,
-                "df_map": df_map}
+                "df_map": df_map, "local": local, "url_map": url_map}
 
     def _acquire_index(self):
         """Build-if-needed and register this thread as a reader; the caller
@@ -231,15 +252,32 @@ class EngineState:
         rounds = sorted(p.name for p in Path(self.workdir).glob("round=*")
                         if (p / "manifest.json").exists()
                         and not p.name.startswith("round=-"))  # skip seed init
+        # lock-free peek (status must answer while a build holds _lock);
+        # a torn read can only show the previous/None index, never garbage
+        ix = self._index
+        serving = ("unbuilt" if ix is None else
+                   "local" if ix["local"] is not None else "distributed")
         return {"status": "ok", "api_version": "1.0",
                 "workdir": self.workdir, "committed_rounds": len(rounds),
-                "building": self._crawl_lock.locked()}
+                "building": self._crawl_lock.locked(),
+                "serving_path": serving}
 
     def _search_with(self, ix, query: str, limit: int,
                      fallback: bool) -> dict:
         from pyspark.sql import functions as F
 
         from .operators.ranking import interactive_query_conf, rank_bm25
+
+        if ix["local"] is not None:
+            # in-process serving (see _build_index): identical hits,
+            # parity-tested against the Spark path in test_api.py
+            t0 = time.perf_counter()
+            hits = ix["local"].rank(query, top_k=limit, fallback=fallback)
+            ms = (time.perf_counter() - t0) * 1000
+            return {"status": "ok", "query": query,
+                    "query_time_ms": round(ms, 2),
+                    "results": [{"doc_id": d, "url": ix["url_map"][d],
+                                 "score": round(s, 4)} for d, s in hits]}
 
         t0 = time.perf_counter()
         hits = rank_bm25(ix["postings"], ix["stats"], query,
@@ -278,6 +316,21 @@ class EngineState:
 
         ix = self._acquire_index()
         try:
+            if ix["local"] is not None:
+                t0 = time.perf_counter()
+                per_lists = ix["local"].rank_batch(queries, top_k=limit,
+                                                   fallback=True)
+                ms = (time.perf_counter() - t0) * 1000
+                return {"status": "ok", "queries": list(queries),
+                        "batch_time_ms": round(ms, 2),
+                        "per_query_ms": round(ms / max(len(queries), 1), 2),
+                        "results": [
+                            {"query": q,
+                             "results": [{"doc_id": d,
+                                          "url": ix["url_map"][d],
+                                          "score": round(s, 4)}
+                                         for d, s in hits_q]}
+                            for q, hits_q in zip(queries, per_lists)]}
             t0 = time.perf_counter()
             # fallback=True: a batched query must return the same hits as
             # the same query sent through single /api/search (which applies

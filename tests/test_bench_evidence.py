@@ -123,9 +123,9 @@ def test_compact_line_fits_driver_tail_capture():
                 "sf1_walls": {"minhash": 14.21, "ngram": 27.93,
                               "components": 19.41, "cosine": 11.87}},
         "query_warm": {"25_docs": {"med": 486.4, "min": 469.7,
-                                   "batch8": 519.7},
+                                   "batch8": 519.7, "loc": 0.112},
                        "sf0.1": {"med": 789.4, "min": 759.2,
-                                 "batch8": 868.9}},
+                                 "batch8": 868.9, "loc": 12.481}},
         "speedup_vs_baseline": {"baseline_run": "BENCH_r02.json",
                                 "q_median": 1.05, "q_min": 0.43,
                                 "q_max": 2.94, "crawl_urls_per_sec": 0.95},
@@ -154,7 +154,11 @@ def test_compact_line_fits_driver_tail_capture():
         compact["steady_crawl"].pop("ups_small", None)
         compact["steady_crawl"].pop("ups_big", None)
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # main()'s trim 6: derivable next round
+    if len(line) > 1800:  # main()'s trim 6: med/batch8/loc carry the claim
+        for v in compact.get("query_warm", {}).values():
+            v.pop("min", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # main()'s trim 7: derivable next round
         compact.pop("speedup_vs_baseline", None)
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1800, f"compact line {len(line)} chars"
@@ -167,6 +171,10 @@ def test_compact_line_fits_driver_tail_capture():
                 "long_crawl", "crawl_priority", "query_warm",
                 "steady_crawl", "sf1"):
         assert key in compact
+    # warm-latency claims survive: Spark-plan median + the local-serve
+    # figure (round 5) stay on the line at realistic trim depth
+    for v in compact["query_warm"].values():
+        assert "med" in v and "batch8" in v and "loc" in v
     # the per-section controls (round-4 verdict #3) survive every trim
     assert "ctl" in compact["long_crawl"]
     assert "ctl" in compact["crawl_priority"]
@@ -225,7 +233,98 @@ def test_selected_controls_clean_flags_excursions():
         bench._CTL_REF = saved
 
 
-def test_shape_str():
+def _pair(wall, crawl_after, pps, ceil_after, ratio):
+    """Minimal crawl+ceiling pair for selection tests: only the fields
+    _best_crawl_of/_best_ceil_of/paired_level touch."""
+    return {
+        "crawl": {"wall_sec": wall, "urls_per_sec": 1000.0 / wall,
+                  "ctl": {"before": 0.72, "after": crawl_after},
+                  "round_fetched": [10, 100],
+                  "stage_walls": [{"extract_write": 1.0},
+                                  {"extract_write": wall / 2}]},
+        "ceil": {"pages_per_sec": pps,
+                 "ctl": {"before": 0.71, "after": ceil_after}},
+        "ratio": ratio,
+    }
+
+
+def test_best_of_prefers_clean_readings():
+    """Selection rule (round-5, after run E): the level's crawl/ceiling is
+    the fastest among CLEAN-bracketed readings, falling back to fastest
+    overall only when no clean one exists — otherwise a control-retry
+    pair can never replace a dirty-but-faster selection and the scaling
+    clean flag is stuck false."""
+    saved = bench._CTL_REF
+    try:
+        bench._CTL_REF = 0.7
+        dirty_fast = _pair(50.0, 1.5, 20000, 0.72, 1.0)
+        clean_slow = _pair(60.0, 0.73, 18000, 0.73, 1.1)
+        pairs = [dirty_fast, clean_slow]
+        assert bench._best_crawl_of(pairs)["wall_sec"] == 60.0
+        # the ceiling picks the clean 20k reading (its own ctl is clean
+        # even though the same pair's crawl was dirty)
+        assert bench._best_ceil_of(pairs)["pages_per_sec"] == 20000
+        # no clean reading anywhere -> fastest overall (flagged dirty
+        # downstream by _selected_controls_clean)
+        dirty_slow = _pair(70.0, 2.0, 15000, 2.0, 1.2)
+        assert bench._best_crawl_of(
+            [dirty_fast, dirty_slow])["wall_sec"] == 50.0
+        assert bench._best_ceil_of(
+            [_pair(50.0, 1.5, 20000, 2.0, 1.0), dirty_slow]
+        )["pages_per_sec"] == 20000
+    finally:
+        bench._CTL_REF = saved
+
+
+def test_paired_level_retries_until_clean_selection(monkeypatch):
+    """paired_level keeps adding pairs (up to 2, soft-budget capped) while
+    the SELECTED crawl or ceiling controls are dirty, and the clean pair
+    it buys actually wins selection."""
+    saved = bench._CTL_REF
+    try:
+        bench._CTL_REF = 0.7
+        feed = [_pair(50.0, 1.5, 20000, 1.6, 1.3),   # initial: all dirty
+                _pair(62.0, 0.73, 18000, 0.72, 1.1)]  # retry: clean
+        calls = []
+
+        def fake_run_pair(threads, corpus_path, pin, ceiling_cap=None,
+                          shape=None):
+            calls.append(threads)
+            return feed.pop(0)
+
+        monkeypatch.setattr(bench, "run_pair", fake_run_pair)
+        crawl, ceil, gate = bench.paired_level(1, 8, "unused", 8, "test")
+        assert len(calls) == 2  # one ctl retry, then clean -> stop
+        assert crawl["ctl_reran"] == 1
+        assert crawl["wall_sec"] == 62.0          # clean pair selected
+        assert ceil["pages_per_sec"] == 18000     # clean ceiling selected
+        assert gate["same_pair_ratios"] == [1.3, 1.1]
+        assert gate["best_same_pair_ratio"] == 1.1
+        assert crawl["all_walls"] == [50.0, 62.0]
+        # best_extract_wall still spans ALL pairs (steady-state figure)
+        assert crawl["best_extract_wall"] == 25.0
+    finally:
+        bench._CTL_REF = saved
+
+
+def test_paired_level_ctl_retry_respects_soft_budget(monkeypatch):
+    """Once the bench is over its soft wall-clock budget the ctl retry is
+    skipped and the dirty reading is recorded as-is (flagged downstream) —
+    a slow co-tenancy day must not push the driver call into a timeout."""
+    saved_ref, saved_t0 = bench._CTL_REF, bench._BENCH_T0
+    try:
+        bench._CTL_REF = 0.7
+        bench._BENCH_T0 = -10**9  # force over-budget
+        feed = [_pair(50.0, 1.5, 20000, 1.6, 1.0)]
+        monkeypatch.setattr(
+            bench, "run_pair",
+            lambda *a, **k: feed.pop(0))
+        crawl, ceil, gate = bench.paired_level(1, 8, "unused", 8, "test")
+        assert crawl["ctl_reran"] == 0
+        assert crawl["wall_sec"] == 50.0
+    finally:
+        bench._CTL_REF, bench._BENCH_T0 = saved_ref, saved_t0
+
     assert bench._shape_str({"hosts": 32, "pages_per_host": 6175,
                              "pad_paras": 48}) == "32x6175x48"
     assert bench._shape_str(None) is None
