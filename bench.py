@@ -214,7 +214,7 @@ def phase_query_warm(spark) -> dict:
         # df aggregation job
         total = stats.count()
         avg_dl = (stats.groupBy().sum("dl").collect()[0][0] or 0) / total
-        postings.count()
+        n_postings = postings.count()
         dfs = IX.term_df(postings).cache()
         # driver-side {term: df} built once at warm-index time, as the
         # dashboard's EngineState does (shared contract: IX.term_df_map) -
@@ -228,7 +228,8 @@ def phase_query_warm(spark) -> dict:
             local_serve as LS,
         )
         local_ix = LS.build_local_index(postings, stats, total_docs=total,
-                                        avg_dl=avg_dl)
+                                        avg_dl=avg_dl,
+                                        n_postings=n_postings)
         with RK.interactive_query_conf(spark):
             RK.rank_bm25(postings, stats, "spark join window stream",
                          total_docs=total, avg_dl=avg_dl,
@@ -404,18 +405,33 @@ def paired_level(n_pairs: int, threads: int, corpus_path: str,
               f"extract_stage_vs_kernel {min(ratios)} > 1.25, extra pair "
               f"{attempt + 1}/2", file=sys.stderr)
         pairs.append(run_pair(threads, corpus_path, pin))
+    crawl, ceil = _select_level(pairs, extra)
+    ratios = [p["ratio"] for p in pairs if p["ratio"] is not None]
+    gate = {"same_pair_ratios": ratios,
+            "best_same_pair_ratio": min(ratios) if ratios else None,
+            "n_pairs": len(pairs),
+            # raw pairs ride along (popped before the artifact is written)
+            # so main() can RE-select under the run's FINAL control
+            # reference - the ref only decreases as later phases run, and
+            # a selection frozen at phase time could strand a finally-clean
+            # sibling reading unselected (the run-E failure mode again,
+            # via reference drift)
+            "_pairs": pairs, "_extra": extra}
+    return crawl, ceil, gate
+
+
+def _select_level(pairs: list[dict], extra: int) -> tuple[dict, dict]:
+    """Clean-preferred selection + level decoration (per-run walls, retry
+    count, best stage wall). Called at phase time AND re-called by main()
+    under the final control reference (see paired_level's gate['_pairs']
+    note)."""
     crawl = dict(_best_crawl_of(pairs))
     crawl["all_walls"] = [p["crawl"]["wall_sec"] for p in pairs]
     crawl["ctl_reran"] = extra
     ew = [w for w in (_final_extract_wall(p["crawl"]) for p in pairs) if w]
     if ew:  # best stage wall across the level's runs (steady-state figure)
         crawl["best_extract_wall"] = min(ew)
-    ceil = _best_ceil_of(pairs)
-    ratios = [p["ratio"] for p in pairs if p["ratio"] is not None]
-    gate = {"same_pair_ratios": ratios,
-            "best_same_pair_ratio": min(ratios) if ratios else None,
-            "n_pairs": len(pairs)}
-    return crawl, ceil, gate
+    return crawl, _best_ceil_of(pairs)
 
 
 def run_ceiling_subprocess(procs: int, corpus_path: str,
@@ -581,19 +597,7 @@ def phase_steady_crawl() -> dict:
                          n_buckets=N_BUCKETS)
     spark.stop()
 
-    def best_metrics(pairs_big, pairs_small):
-        """Best crawl + best ceiling per level, preferring clean-bracketed
-        readings (so a retry pair taken for cleanliness can actually
-        replace the dirty selection) -> (cb, cs, eff, ceiling);
-        zero-guarded like main()'s scaling block (a 0-page crawl must
-        degrade the reading, not crash phases 5-7 out of the artifact)."""
-        cb, cs = _best_crawl_of(pairs_big), _best_crawl_of(pairs_small)
-        eb, es = _best_ceil_of(pairs_big), _best_ceil_of(pairs_small)
-        eff = (cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
-               if cs["urls_per_sec"] else 0.0)
-        ceiling = (eb["pages_per_sec"] / (4 * es["pages_per_sec"])
-                   if es["pages_per_sec"] else 0.0)
-        return cb, cs, eb, es, eff, ceiling
+    best_metrics = _steady_metrics
 
     try:
         pairs_big = [run_pair(CPUS, path, None, ceiling_cap=20_000,
@@ -630,8 +634,38 @@ def phase_steady_crawl() -> dict:
                                                         pairs_small)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    out = {
-        "shape": _shape_str(shape),
+    out = _steady_record(pairs_big, pairs_small, _shape_str(shape))
+    print(f"  steady_crawl: {out}", file=sys.stderr)
+    # raw pairs ride along (popped in main()) so the record can be
+    # re-selected + re-judged under the run's FINAL control reference -
+    # phases 5-7 still run controls after this one (same drift concern as
+    # paired_level's gate['_pairs'])
+    out["_pairs"] = (pairs_big, pairs_small)
+    return out
+
+
+def _steady_metrics(pairs_big, pairs_small):
+    """Best crawl + best ceiling per level, preferring clean-bracketed
+    readings (so a retry pair taken for cleanliness can actually replace
+    the dirty selection) -> (cb, cs, eb, es, eff, ceiling); zero-guarded
+    like main()'s scaling block (a 0-page crawl must degrade the reading,
+    not crash phases 5-7 out of the artifact)."""
+    cb, cs = _best_crawl_of(pairs_big), _best_crawl_of(pairs_small)
+    eb, es = _best_ceil_of(pairs_big), _best_ceil_of(pairs_small)
+    eff = (cb["urls_per_sec"] / (4 * cs["urls_per_sec"])
+           if cs["urls_per_sec"] else 0.0)
+    ceiling = (eb["pages_per_sec"] / (4 * es["pages_per_sec"])
+               if es["pages_per_sec"] else 0.0)
+    return cb, cs, eb, es, eff, ceiling
+
+
+def _steady_record(pairs_big, pairs_small, shape_str: str) -> dict:
+    """Steady-phase summary from raw pairs; selection + clean judgment
+    use the CURRENT control reference, so main() re-calls this under the
+    run's final reference before writing the artifact."""
+    cb, cs, eb, es, eff, ceiling = _steady_metrics(pairs_big, pairs_small)
+    return {
+        "shape": shape_str,
         "wall_small": cs["wall_sec"], "wall_big": cb["wall_sec"],
         "urls_per_sec_small": cs["urls_per_sec"],
         "urls_per_sec_big": cb["urls_per_sec"],
@@ -641,13 +675,9 @@ def phase_steady_crawl() -> dict:
         if ceiling else None,
         "ctl": {"small": cs.get("ctl"), "big": cb.get("ctl"),
                 "ceil_small": es.get("ctl"), "ceil_big": eb.get("ctl")},
-        # provisional (phase-time reference); main() re-judges against the
-        # run's final reference before writing the artifact
         "clean": _selected_controls_clean(cb, cs, eb, es),
         "pairs": {"big": len(pairs_big), "small": len(pairs_small)},
     }
-    print(f"  steady_crawl: {out}", file=sys.stderr)
-    return out
 
 
 def phase_sf1_probe(spark) -> dict:
@@ -911,9 +941,6 @@ def main() -> None:
           f"{SMALL_CPUS} cores (2 pairs)", file=sys.stderr)
     crawl_small, ceil_small, gate_small = paired_level(
         2, SMALL_CPUS, corpus_path, SMALL_CPUS, "small")
-    workload_ceiling = round(
-        ceil_big["pages_per_sec"] / (4 * ceil_small["pages_per_sec"]), 3) \
-        if ceil_small["pages_per_sec"] else 0.0
 
     # --- phase 4b: steady-dominant crawl config (round-4 verdict #7): the
     # same BFS job over a corpus whose final round carries ~12x the
@@ -950,6 +977,21 @@ def main() -> None:
     print("phase 7: dedup/ANN sf1 (10x) scale probe", file=sys.stderr)
     sf1 = phase_sf1_probe(spark_long)
     spark_long.stop()
+
+    # All control readings are in: re-run every selection under the run's
+    # FINAL reference (it only decreases as phases run). A selection
+    # frozen at phase time could keep a dirty-but-faster reading that a
+    # finally-clean sibling should displace - the same failure mode the
+    # clean-preferred rule exists to prevent, reintroduced via drift.
+    crawl_big, ceil_big = _select_level(gate_big.pop("_pairs"),
+                                        gate_big.pop("_extra"))
+    crawl_small, ceil_small = _select_level(gate_small.pop("_pairs"),
+                                            gate_small.pop("_extra"))
+    sp_big, sp_small = steady.pop("_pairs")
+    steady = _steady_record(sp_big, sp_small, steady["shape"])
+    workload_ceiling = round(
+        ceil_big["pages_per_sec"] / (4 * ceil_small["pages_per_sec"]), 3) \
+        if ceil_small["pages_per_sec"] else 0.0
 
     eff = crawl_big["urls_per_sec"] / (4 * crawl_small["urls_per_sec"]) \
         if crawl_small["urls_per_sec"] else 0.0

@@ -89,7 +89,8 @@ async function refreshStatus(){
   try{const s = await api('/api/status');
     document.getElementById('status').textContent =
       'workdir ' + s.workdir + ' \\u00b7 committed rounds ' +
-      s.committed_rounds + (s.building ? ' \\u00b7 crawl in progress' : '');
+      s.committed_rounds + ' \\u00b7 serving ' + s.serving_path +
+      (s.building ? ' \\u00b7 crawl in progress' : '');
   }catch(e){document.getElementById('status').textContent =
       'status unavailable: ' + e;}
 }
@@ -199,16 +200,17 @@ class EngineState:
         # against it (broadcast on the k side), so nothing doc-count-sized
         # ever crosses to the driver - a 10^9-doc corpus serves the same way
         urls = docs.select("doc_id", "url").cache()
-        urls.count()
+        n_urls = urls.count()
         # Local serving path (operators.local_serve): an index that fits
         # one node's memory is collected ONCE and every query is served
         # in-process (the reference's own serving model, ranking.c) - no
         # Spark job on the query path. Gated twice: postings rows under
-        # the collect cap AND doc count small enough that the doc_id->url
-        # map stays a driver-trivia dict; past either gate, local is None
-        # and the distributed path above serves identically.
+        # the collect cap AND url rows (every workdir doc, including
+        # token-less ones stats never sees) small enough that the
+        # doc_id->url map stays a driver-trivia dict; past either gate,
+        # local is None and the distributed path above serves identically.
         local = url_map = None
-        if total <= _LOCAL_URLMAP_MAX_DOCS:
+        if n_urls <= _LOCAL_URLMAP_MAX_DOCS:
             from .operators.local_serve import build_local_index
             local = build_local_index(postings, stats, total_docs=total,
                                       avg_dl=avg_dl, n_postings=n_postings)
@@ -270,7 +272,7 @@ class EngineState:
 
         if ix["local"] is not None:
             # in-process serving (see _build_index): identical hits,
-            # parity-tested against the Spark path in test_api.py
+            # parity-tested against the Spark path in test_local_serve.py
             t0 = time.perf_counter()
             hits = ix["local"].rank(query, top_k=limit, fallback=fallback)
             ms = (time.perf_counter() - t0) * 1000

@@ -87,7 +87,11 @@ class LocalIndex:
             dl = self.dl[idx]
             part = idf * (tf * (BM25_K1 + 1.0)) / (
                 tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avg_dl))
-            np.add.at(acc, idx, part)  # a doc can repeat across terms
+            # idx is duplicate-free within one posting list (postings are
+            # unique (term, doc_id) by construction), so buffered fancy
+            # indexing is safe - and far faster than np.add.at; repeats of
+            # the same doc across query terms accumulate across iterations
+            acc[idx] += part
         pos = np.flatnonzero(acc > 0)
         if pos.size == 0:
             return []

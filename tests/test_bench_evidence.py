@@ -307,6 +307,28 @@ def test_paired_level_retries_until_clean_selection(monkeypatch):
         bench._CTL_REF = saved
 
 
+def test_reselection_under_final_reference_flips_to_clean_sibling():
+    """The run's control reference only decreases as phases execute, so a
+    reading judged clean at phase time can be dirty under the final ref.
+    main() re-runs _select_level after the last phase; under the lower
+    reference the finally-clean sibling must displace the now-dirty
+    faster reading (review find, round 5: re-judging the flag without
+    re-running selection reintroduced the stuck-false failure mode)."""
+    saved = bench._CTL_REF
+    try:
+        bench._CTL_REF = 0.8
+        fast = _pair(50.0, 0.95, 20000, 0.79, 1.0)  # clean at ref 0.8
+        slow = _pair(60.0, 0.72, 18000, 0.72, 1.1)
+        crawl, _ = bench._select_level([fast, slow], 0)
+        assert crawl["wall_sec"] == 50.0  # both clean -> fastest wins
+        bench._CTL_REF = 0.7  # final ref: 0.95 > 0.875 is now dirty
+        crawl2, ceil2 = bench._select_level([fast, slow], 0)
+        assert crawl2["wall_sec"] == 60.0  # clean sibling displaces it
+        assert bench._selected_controls_clean(crawl2, ceil2)
+    finally:
+        bench._CTL_REF = saved
+
+
 def test_paired_level_ctl_retry_respects_soft_budget(monkeypatch):
     """Once the bench is over its soft wall-clock budget the ctl retry is
     skipped and the dirty reading is recorded as-is (flagged downstream) —
@@ -325,6 +347,8 @@ def test_paired_level_ctl_retry_respects_soft_budget(monkeypatch):
     finally:
         bench._CTL_REF, bench._BENCH_T0 = saved_ref, saved_t0
 
+
+def test_shape_str():
     assert bench._shape_str({"hosts": 32, "pages_per_host": 6175,
                              "pad_paras": 48}) == "32x6175x48"
     assert bench._shape_str(None) is None
