@@ -223,11 +223,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # operators.index.term_df_map): each interactive query is then
         # ONE Spark job
         df_map = term_df_map(dfs)
+        # the reference's prompt loop serves from its in-process index
+        # (main.c:172-184); when the index fits the collect caps, do the
+        # same (operators.local_serve) - a query then costs microseconds
+        # instead of a Spark job. Past either cap: the distributed path.
+        from .operators.local_serve import (
+            LOCAL_URLMAP_MAX_DOCS, build_local_index,
+        )
+
+        local_ix = url_map = None
+        if docs.count() <= LOCAL_URLMAP_MAX_DOCS:
+            local_ix = build_local_index(postings, stats, total_docs=total,
+                                         avg_dl=avg_dl)
+            if local_ix is not None:
+                url_map = {r["doc_id"]: r["url"]
+                           for r in docs.select("doc_id", "url").collect()}
         phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
         print(f"Indexed {total} documents.")
 
         def run_query(q: str) -> float:
             from .operators.ranking import interactive_query_conf
+
+            if local_ix is not None:
+                t2 = time.perf_counter()
+                hits = local_ix.rank(q, top_k=10, fallback=True)
+                ms = (time.perf_counter() - t2) * 1000
+                print(f"Query processed in {ms:.2f} ms")
+                for rank, (d, s) in enumerate(hits, 1):
+                    print(f"{rank:2d}. doc {d} score={s:.4f} "
+                          f"{url_map.get(d, '')}")
+                if not hits:
+                    print("No results.")
+                return ms
 
             t2 = time.perf_counter()
             with interactive_query_conf(spark):

@@ -134,11 +134,11 @@ refreshStatus();
 """
 
 
-# Doc-count gate for the local serving path's doc_id->url dict (the
-# postings-row gate lives in operators.local_serve): ~2M urls is ~200 MB
-# of driver dict; past it results resolve through the broadcast join
-# against the cached urls DataFrame as before.
-_LOCAL_URLMAP_MAX_DOCS = 2_000_000
+# Url-count gate for the local serving path's doc_id->url dict (both
+# caps live in operators.local_serve; module alias kept monkeypatchable
+# for the local-vs-distributed parity test).
+from .operators.local_serve import LOCAL_URLMAP_MAX_DOCS as \
+    _LOCAL_URLMAP_MAX_DOCS  # noqa: E402
 
 
 class EngineState:

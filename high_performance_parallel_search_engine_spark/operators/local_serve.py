@@ -41,6 +41,12 @@ from .ranking import alt_term, query_terms
 # results). Mirrors index.term_df_map's vocab cap.
 LOCAL_INDEX_MAX_POSTINGS = 20_000_000
 
+# Companion gate for callers that also collect a doc_id->url map to
+# resolve hits locally (dashboard, CLI prompt): ~2M urls is ~200 MB of
+# driver dict; past it results resolve through a broadcast join against
+# the cached urls DataFrame on the distributed path.
+LOCAL_URLMAP_MAX_DOCS = 2_000_000
+
 
 class LocalIndex:
     """In-process posting lists: {term: (doc_idx, tf, df)} over a compact

@@ -16,6 +16,11 @@ def test_cli_crawl_and_query_end_to_end(spark, tmp_path, capsys):
     assert "Successfully crawled" in out
     assert "Query processed in" in out
     assert "doc " in out  # at least one ranked result
+    # a 25-doc crawl fits the local-serve caps, so the prompt query is
+    # served in-process (main.c:172-184's resident-index model) - no
+    # Spark job: the printed wall must be far under the ~400 ms job floor
+    ms = float(out.split("Query processed in ")[1].split(" ms")[0])
+    assert ms < 50, f"expected local-serve latency, got {ms} ms"
 
 
 def test_cli_clamps_match_reference(capsys):
