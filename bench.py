@@ -597,14 +597,13 @@ def phase_steady_crawl() -> dict:
                          n_buckets=N_BUCKETS)
     spark.stop()
 
-    best_metrics = _steady_metrics
-
     try:
         pairs_big = [run_pair(CPUS, path, None, ceiling_cap=20_000,
                               shape=shape)]
         pairs_small = [run_pair(SMALL_CPUS, path, SMALL_CPUS,
                                 ceiling_cap=20_000, shape=shape)]
-        cb, cs, eb, es, eff, ceiling = best_metrics(pairs_big, pairs_small)
+        cb, cs, eb, es, eff, ceiling = _steady_metrics(pairs_big,
+                                                       pairs_small)
         for _ in range(2):
             clean = _selected_controls_clean(cb, cs, eb, es)
             if ceiling and eff / ceiling >= 0.7 and clean:
@@ -630,8 +629,8 @@ def phase_steady_crawl() -> dict:
                                       shape=shape))
             pairs_small.append(run_pair(SMALL_CPUS, path, SMALL_CPUS,
                                         ceiling_cap=20_000, shape=shape))
-            cb, cs, eb, es, eff, ceiling = best_metrics(pairs_big,
-                                                        pairs_small)
+            cb, cs, eb, es, eff, ceiling = _steady_metrics(pairs_big,
+                                                           pairs_small)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     out = _steady_record(pairs_big, pairs_small, _shape_str(shape))
@@ -1020,14 +1019,13 @@ def main() -> None:
     # ceiling-excursion exposure the steady phase gates on), judged against
     # the run's FINAL control reference - phase-time checks use a
     # provisional reference that can still drop, so the artifact-written
-    # flag is recomputed here. Ditto for the steady phase's flag; its ctl
-    # block records the final ref for auditability (gated() pattern).
+    # flag is recomputed here on the final-ref-re-selected readings.
     scaling["clean"] = _selected_controls_clean(crawl_big, crawl_small,
                                                 ceil_big, ceil_small)
     scaling["ctl_ref"] = _CTL_REF
-    steady["clean"] = _selected_controls_clean(
-        *({"ctl": c} for c in steady.get("ctl", {}).values()
-          if isinstance(c, dict)))
+    # steady["clean"] is already final-reference-judged by the
+    # _steady_record re-build above (and its absent-controls-never-clean
+    # rule is stricter than a re-derivation from the ctl sub-dicts)
     steady["ctl"]["ref"] = _CTL_REF
     # per-section ctl records are [before, after, reran] triples (compact
     # budget); dict form lives in bench_full.json

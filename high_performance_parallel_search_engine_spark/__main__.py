@@ -217,7 +217,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         total = stats.count()
         avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
                   if total else 0.0)
-        postings.count()  # warm the cached index once; queries reuse it
+        n_postings = postings.count()  # warm the cache; queries reuse it
         dfs = term_df(postings).cache()
         # driver-side {term: df} while the vocab fits (shared contract:
         # operators.index.term_df_map): each interactive query is then
@@ -225,19 +225,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         df_map = term_df_map(dfs)
         # the reference's prompt loop serves from its in-process index
         # (main.c:172-184); when the index fits the collect caps, do the
-        # same (operators.local_serve) - a query then costs microseconds
-        # instead of a Spark job. Past either cap: the distributed path.
-        from .operators.local_serve import (
-            LOCAL_URLMAP_MAX_DOCS, build_local_index,
-        )
-
+        # same (the gate-then-build sequence is shared with the dashboard:
+        # operators.local_serve.build_local_serving) - a query then costs
+        # microseconds instead of a Spark job. Past either cap, or when no
+        # query will run (--save-baseline alone): the distributed path.
         local_ix = url_map = None
-        if docs.count() <= LOCAL_URLMAP_MAX_DOCS:
-            local_ix = build_local_index(postings, stats, total_docs=total,
-                                         avg_dl=avg_dl)
-            if local_ix is not None:
-                url_map = {r["doc_id"]: r["url"]
-                           for r in docs.select("doc_id", "url").collect()}
+        if args.query or args.interactive:
+            from .operators.local_serve import build_local_serving
+
+            local_ix, url_map = build_local_serving(
+                postings, stats, docs.select("doc_id", "url"),
+                total_docs=total, avg_dl=avg_dl, n_postings=n_postings)
         phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
         print(f"Indexed {total} documents.")
 

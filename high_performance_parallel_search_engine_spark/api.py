@@ -204,18 +204,17 @@ class EngineState:
         # Local serving path (operators.local_serve): an index that fits
         # one node's memory is collected ONCE and every query is served
         # in-process (the reference's own serving model, ranking.c) - no
-        # Spark job on the query path. Gated twice: postings rows under
-        # the collect cap AND url rows (every workdir doc, including
-        # token-less ones stats never sees) small enough that the
-        # doc_id->url map stays a driver-trivia dict; past either gate,
-        # local is None and the distributed path above serves identically.
-        local = url_map = None
-        if n_urls <= _LOCAL_URLMAP_MAX_DOCS:
-            from .operators.local_serve import build_local_index
-            local = build_local_index(postings, stats, total_docs=total,
-                                      avg_dl=avg_dl, n_postings=n_postings)
-            if local is not None:
-                url_map = {r["doc_id"]: r["url"] for r in urls.collect()}
+        # Spark job on the query path. Gated twice inside
+        # build_local_serving: postings rows under the collect cap AND
+        # url rows (every workdir doc, including token-less ones stats
+        # never sees) small enough that the doc_id->url map stays a
+        # driver-trivia dict; past either gate, local is None and the
+        # distributed path above serves identically.
+        from .operators.local_serve import build_local_serving
+        local, url_map = build_local_serving(
+            postings, stats, urls, total_docs=total, avg_dl=avg_dl,
+            n_postings=n_postings, n_urls=n_urls,
+            max_urls=_LOCAL_URLMAP_MAX_DOCS)
         return {"postings": postings, "stats": stats, "total": total,
                 "avg_dl": avg_dl, "urls": urls, "term_df": dfs,
                 "df_map": df_map, "local": local, "url_map": url_map}

@@ -121,6 +121,29 @@ class LocalIndex:
         return n
 
 
+def build_local_serving(postings, doc_stats, urls,
+                        total_docs: int | None = None,
+                        avg_dl: float | None = None,
+                        n_postings: int | None = None,
+                        n_urls: int | None = None,
+                        max_postings: int = LOCAL_INDEX_MAX_POSTINGS,
+                        max_urls: int = LOCAL_URLMAP_MAX_DOCS):
+    """(LocalIndex, {doc_id: url}) or (None, None) when either collect cap
+    fails - the ONE gate-then-build sequence the dashboard (api.EngineState)
+    and the CLI prompt share, so the caps can never silently diverge
+    between them. `urls` is a (doc_id, url) DataFrame; pass n_urls/
+    n_postings to skip count jobs the caller already ran."""
+    n_u = urls.count() if n_urls is None else n_urls
+    if n_u > max_urls:
+        return None, None
+    ix = build_local_index(postings, doc_stats, total_docs=total_docs,
+                           avg_dl=avg_dl, max_postings=max_postings,
+                           n_postings=n_postings)
+    if ix is None:
+        return None, None
+    return ix, {r["doc_id"]: r["url"] for r in urls.collect()}
+
+
 def build_local_index(postings, doc_stats, total_docs: int | None = None,
                       avg_dl: float | None = None,
                       max_postings: int = LOCAL_INDEX_MAX_POSTINGS,
