@@ -352,3 +352,36 @@ def test_shape_str():
     assert bench._shape_str({"hosts": 32, "pages_per_host": 6175,
                              "pad_paras": 48}) == "32x6175x48"
     assert bench._shape_str(None) is None
+
+
+def test_scaling_pair_2to8_artifact_is_self_consistent():
+    """bench_scaling_pair_2to8.json (the committed unsaturated-pair
+    evidence for the north rule's >= 0.8 criterion) must stay internally
+    consistent: every derived ratio recomputes from its own raw readings,
+    the PASS claim matches the numbers, and all eight bracket controls
+    sit within the 25% cleanliness band of the window's fastest."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_scaling_pair_2to8.json")
+    rec = json.load(open(path))
+
+    eff = rec["urls_per_sec_big"] / (4 * rec["urls_per_sec_small"])
+    assert abs(eff - rec["efficiency_n_to_4n"]) < 5e-3
+    wc = rec["kernel_pps_big"] / (4 * rec["kernel_pps_small"])
+    assert abs(wc - rec["workload_ceiling_n_to_4n"]) < 5e-3
+    assert abs(eff / wc - rec["efficiency_vs_workload_ceiling"]) < 5e-3
+    steady = rec["extract_final_small"] / (4 * rec["extract_final_big"])
+    assert abs(steady - rec["steady_eff_n_to_4n"]) < 5e-3
+
+    # the headline claim: raw whole-crawl AND steady-stage clear 0.8,
+    # and the kernel ceiling confirms the pair is unsaturated (>= ~0.9)
+    assert rec["efficiency_n_to_4n"] >= 0.8
+    assert rec["steady_eff_n_to_4n"] >= 0.8
+    assert rec["workload_ceiling_n_to_4n"] >= 0.9
+    assert "PASS" in rec["result"]
+
+    ctls = [v for pair in rec["ctl"].values() for v in pair.values()]
+    ref = min(ctls)
+    assert all(c <= ref * 1.25 for c in ctls)
+    # walls consistent with throughput (49,400-page crawl)
+    assert abs(rec["urls_per_sec_small"] * rec["wall_small"] - 49400) < 500
+    assert abs(rec["urls_per_sec_big"] * rec["wall_big"] - 49400) < 500
