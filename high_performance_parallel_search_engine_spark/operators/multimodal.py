@@ -2,15 +2,19 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct. The
 Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning) is real and tested, and three container formats run REAL
+partitioning) is real and tested, and four container formats run REAL
 bytes end to end with zero dependencies: uncompressed 24-bit BMP
 (decode + nearest-neighbor resize, struct parsing), 16-bit PCM WAV
-(stdlib wave), and uncompressed DIB AVI (decode + frame sampling, RIFF
-parsing; sampled frames re-encode as BMPs that feed the resize path).
-Compressed formats (jpeg/mp3/mp4/h264) remain STUBBED behind
-clearly-marked seams (no codec libraries in this container): they raise
-NotImplementedError unless `fake=True`, which substitutes a deterministic
-fake so the pipeline shape stays exercisable end-to-end.
+(stdlib wave), uncompressed DIB AVI (decode + frame sampling, RIFF
+parsing; sampled frames re-encode as BMPs that feed the resize path),
+and - since round 5 - 8-bit RGB PNG (decode + resize): a genuinely
+COMPRESSED format, real zlib DEFLATE via the stdlib, chunk CRCs
+verified, all five scanline filters (None/Sub/Up/Average/Paeth)
+implemented and exercised. Codec-library formats (jpeg/mp3/mp4/h264)
+remain STUBBED behind clearly-marked seams (no pillow/pyav in this
+container): they raise NotImplementedError unless `fake=True`, which
+substitutes a deterministic fake so the pipeline shape stays exercisable
+end-to-end.
 
 Also hosts the rolling-hash (Karp-Rabin) fingerprint as the canonical
 pandas-UDF example (imperative per-byte loop -> Arrow batched).
@@ -235,6 +239,167 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, fps, frames
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): pick the neighbor (left a, up b,
+    upper-left c) closest to a + b - c, ties broken left, up, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, rows: list[bytes]) -> bytes:
+    """Real PNG encode (8-bit RGB, color type 2, no interlace): rows are
+    top-down width*3 RGB bytes. Scanline y is filtered with type y % 5, so
+    every PNG filter (None/Sub/Up/Average/Paeth) appears in the stream and
+    a decoder that mishandles any of them cannot round-trip; IDAT is real
+    zlib DEFLATE (stdlib), zero external dependencies."""
+    import zlib
+
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(rows):
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:     # Sub
+            raw += bytes((row[x] - (row[x - bpp] if x >= bpp else 0)) % 256
+                         for x in range(len(row)))
+        elif ft == 2:     # Up
+            raw += bytes((row[x] - prev[x]) % 256 for x in range(len(row)))
+        elif ft == 3:     # Average
+            raw += bytes((row[x] - ((row[x - bpp] if x >= bpp else 0)
+                                    + prev[x]) // 2) % 256
+                         for x in range(len(row)))
+        else:             # Paeth
+            raw += bytes((row[x] - _paeth(row[x - bpp] if x >= bpp else 0,
+                                          prev[x],
+                                          prev[x - bpp] if x >= bpp else 0))
+                         % 256 for x in range(len(row)))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def make_png(width: int, height: int, seed: int) -> bytes:
+    """Deterministic real PNG: pixel byte j (top-down row-major RGB, j over
+    the width*height*3 logical bytes) is (seed + j) % 256 - the same closed
+    form as make_bmp, so a SQL oracle recomputes the decoded pixel sum from
+    (width, height, seed) alone."""
+    row_bytes = width * 3
+    rows = [bytes((seed + y * row_bytes + x) % 256 for x in range(row_bytes))
+            for y in range(height)]
+    return encode_png(width, height, rows)
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Real PNG decode (8-bit RGB, no interlace): chunk walk with CRC
+    verification, zlib inflate, per-scanline un-filtering of all five PNG
+    filter types. Returns (width, height, rows) top-down, width*3 RGB bytes
+    each. The inverse of encode_png; compressed-image formats stop being a
+    stubbed seam here - DEFLATE is the same compression family production
+    codecs use, and the stdlib provides it."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    width = height = 0
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + size)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or ilace:
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG is decoded here "
+                    f"(depth={depth}, color={color}, interlace={ilace})")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + size
+    if not width or not height:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    row_bytes = width * bpp
+    if len(raw) != (row_bytes + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows: list[bytes] = []
+    prev = bytes(row_bytes)
+    for y in range(height):
+        base = y * (row_bytes + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + row_bytes])
+        if ft == 1:       # Sub
+            for x in range(bpp, row_bytes):
+                line[x] = (line[x] + line[x - bpp]) % 256
+        elif ft == 2:     # Up
+            for x in range(row_bytes):
+                line[x] = (line[x] + prev[x]) % 256
+        elif ft == 3:     # Average
+            for x in range(row_bytes):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:     # Paeth
+            for x in range(row_bytes):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) % 256
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        row = bytes(line)
+        rows.append(row)
+        prev = row
+    return width, height, rows
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel_sum) of a real PNG - integer features so the
+    DuckDB oracle compares exactly (mirror of decode_bmp)."""
+    w, h, rows = decode_png_pixels(payload)
+    return w, h, sum(sum(r) for r in rows)
+
+
+def resize_png(payload: bytes, w: int, h: int) -> bytes:
+    """REAL nearest-neighbor resize for 8-bit RGB PNG: inflate + un-filter,
+    sample, re-filter + deflate. Output is itself a valid PNG that
+    decode_png_pixels round-trips (same sampling rule as resize_bmp)."""
+    sw, sh, rows = decode_png_pixels(payload)
+    out_rows = []
+    for y in range(h):
+        sy = min(y * sh // h, sh - 1)
+        src = rows[sy]
+        row = bytearray()
+        for x in range(w):
+            sx = min(x * sw // w, sw - 1)
+            row += src[sx * 3:sx * 3 + 3]
+        out_rows.append(bytes(row))
+    return encode_png(w, h, out_rows)
+
+
 def _decode_stub(payload: bytes, kind: str, fake: bool,
                  mime: str = "application/octet-stream") -> list[float]:
     """THE CODEC SEAM. BMP, WAV and uncompressed AVI payloads decode for
@@ -243,6 +408,11 @@ def _decode_stub(payload: bytes, kind: str, fake: bool,
     raise, documenting the seam)."""
     if mime == "image/bmp":
         w, h, psum = decode_bmp(payload)
+        n = max(w * h * 3, 1)
+        return [float(w), float(h), round(psum / n, 6), float(psum % 256),
+                float(len(payload)), 0.0, 0.0, 0.0]
+    if mime == "image/png":
+        w, h, psum = decode_png(payload)
         n = max(w * h * 3, 1)
         return [float(w), float(h), round(psum / n, 6), float(psum % 256),
                 float(len(payload)), 0.0, 0.0, 0.0]
@@ -307,39 +477,48 @@ REAL_DECODE_SCHEMA = StructType([
 ])
 
 
-def synth_real_media_df(spark, docs: DataFrame,
-                        id_col: str = "doc_id") -> DataFrame:
+def synth_real_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
+                        with_png: bool = False) -> DataFrame:
     """Deterministic media table whose payloads are REAL container bytes:
     doc_id % 3 == 0 rows carry an actual 24-bit BMP, doc_id % 3 == 1 rows an
     actual 16-bit PCM WAV, doc_id % 3 == 2 rows an actual uncompressed DIB
     AVI (all generated from closed-form byte formulas so a SQL oracle can
     recompute the decoded features from doc_id alone). Payload construction
     is a pandas UDF: container encoding is imperative byte work, exactly
-    what the Arrow batch path is for."""
+    what the Arrow batch path is for.
+
+    with_png=True switches to a doc_id % 4 mix whose fourth class is a
+    real zlib-DEFLATE PNG (make_png) - the mix the media_decode_real gate
+    checks, proving a genuinely COMPRESSED image format decodes from real
+    bytes with zero dependencies."""
+    mod = 4 if with_png else 3
 
     @F.pandas_udf(BinaryType())
     def build_payload(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
             i = int(i)
-            if i % 3 == 0:
+            if i % mod == 0:
                 out.append(make_bmp(2 + i % 7, 2 + i % 5, i % 251))
-            elif i % 3 == 1:
+            elif i % mod == 1:
                 out.append(make_wav(100 + i % 400, i % 97))
-            else:
+            elif i % mod == 2:
                 out.append(make_avi(2 + i % 6, 2 + i % 3, 2 + i % 4,
                                     fps=4, seed=i % 199))
+            else:
+                out.append(make_png(2 + i % 5, 2 + i % 7, i % 241))
         return pd.Series(out)
 
     base = docs.select(F.col(id_col).alias("media_id"))
-    m = F.col("media_id") % 3
+    m = F.col("media_id") % mod
+    kind = (F.when(m == 0, "image").when(m == 1, "audio")
+            .when(m == 2, "video").otherwise("image"))
+    mime = (F.when(m == 0, "image/bmp").when(m == 1, "audio/wav")
+            .when(m == 2, "video/avi").otherwise("image/png"))
     return base.select(
-        "media_id",
-        F.when(m == 0, "image").when(m == 1, "audio").otherwise("video")
-        .alias("kind"),
+        "media_id", kind.alias("kind"),
         build_payload(F.col("media_id")).alias("payload"),
-        F.when(m == 0, "image/bmp").when(m == 1, "audio/wav")
-        .otherwise("video/avi").alias("mime"),
+        mime.alias("mime"),
     )
 
 
@@ -359,6 +538,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 p = bytes(payload or b"")
                 if mime == "image/bmp":
                     w, h, psum = decode_bmp(p)
+                    dur = 0
+                elif mime == "image/png":
+                    w, h, psum = decode_png(p)
                     dur = 0
                 elif mime in ("audio/wav", "audio/x-wav"):
                     dur, n, psum = decode_wav(p)
@@ -454,10 +636,12 @@ def _resize_stub(payload: bytes, w: int, h: int, fake: bool,
     the deterministic fake slice (or raise, documenting the seam)."""
     if mime == "image/bmp":
         return resize_bmp(payload, w, h)
+    if mime == "image/png":
+        return resize_png(payload, w, h)
     if not fake:
         raise NotImplementedError(
-            f"resizing mime {mime!r} requires pillow (image/bmp resizes "
-            "for real)")
+            f"resizing mime {mime!r} requires pillow (image/bmp and "
+            "image/png resize for real)")
     return bytes(payload[: max(min(w * h, len(payload)), 1)])
 
 

@@ -1348,25 +1348,29 @@ def q_media_features(spark, sf_dir):
 
 
 # REAL codec decode (no fake path): the payloads are actual 24-bit BMP /
-# 16-bit PCM WAV container bytes built from closed-form byte formulas
-# (multimodal.make_bmp/make_wav), the Spark side struct-parses them back,
-# and DuckDB recomputes the decoded features from doc_id alone - if the
-# encoder or decoder mishandled headers, padding or sample packing, the
-# sums cannot match.
+# 16-bit PCM WAV / uncompressed DIB AVI / zlib-DEFLATE PNG container bytes
+# built from closed-form byte formulas (multimodal.make_bmp/make_wav/
+# make_avi/make_png), the Spark side parses them back (struct walking;
+# for PNG: chunk CRCs, zlib inflate, un-filtering of all five scanline
+# filter types), and DuckDB recomputes the decoded features from doc_id
+# alone - if any encoder or decoder mishandled headers, padding, sample
+# packing, filters or compression, the sums cannot match. The PNG class
+# (doc_id % 4 = 3, round 5) makes this gate cover a genuinely COMPRESSED
+# format decoded from real bytes.
 @q("media_decode_real", """
 SELECT doc_id AS media_id, 'image' AS kind,
        2 + doc_id % 7 AS width, 2 + doc_id % 5 AS height, 0 AS duration_ms,
        CAST(list_sum(list_transform(
               generate_series(0, (2 + doc_id % 7) * (2 + doc_id % 5) * 3 - 1),
               j -> ((doc_id % 251) + j) % 256)) AS BIGINT) AS payload_sum
-FROM documents WHERE doc_id % 3 = 0
+FROM documents WHERE doc_id % 4 = 0
 UNION ALL
 SELECT doc_id, 'audio', 100 + doc_id % 400, 0,
        (100 + doc_id % 400) * 1000 // 8000,
        CAST(list_sum(list_transform(
               generate_series(0, 100 + doc_id % 400 - 1),
               k -> (((doc_id % 97) * 17 + k * 13) % 2001) - 1000)) AS BIGINT)
-FROM documents WHERE doc_id % 3 = 1
+FROM documents WHERE doc_id % 4 = 1
 UNION ALL
 SELECT doc_id, 'video', 2 + doc_id % 6, 2 + doc_id % 3,
        (2 + doc_id % 4) * 1000 // 4,
@@ -1376,12 +1380,19 @@ SELECT doc_id, 'video', 2 + doc_id % 6, 2 + doc_id % 3,
                 generate_series(0,
                   (2 + doc_id % 6) * (2 + doc_id % 3) * 3 - 1),
                 j -> ((doc_id % 199) + f * 31 + j) % 256)))) AS BIGINT)
-FROM documents WHERE doc_id % 3 = 2""")
+FROM documents WHERE doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 'image', 2 + doc_id % 5, 2 + doc_id % 7, 0,
+       CAST(list_sum(list_transform(
+              generate_series(0, (2 + doc_id % 5) * (2 + doc_id % 7) * 3 - 1),
+              j -> ((doc_id % 241) + j) % 256)) AS BIGINT)
+FROM documents WHERE doc_id % 4 = 3""")
 def q_media_decode_real(spark, sf_dir):
     from .operators.multimodal import decode_media_features, synth_real_media_df
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_media_features(synth_real_media_df(spark, docs))
+    return decode_media_features(synth_real_media_df(spark, docs,
+                                                     with_png=True))
 
 
 # Video frame sampling as a value-checked gate: real AVI bytes -> container

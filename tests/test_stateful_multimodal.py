@@ -338,3 +338,86 @@ def test_avi_codec_round_trip_and_real_frame_sampling(spark):
         "duration_ms int")
     with _pt.raises(Exception, match="pyav"):
         MM.sample_frames(bad, fake=False).collect()
+
+
+def test_png_codec_round_trip_all_filters():
+    """The REAL compressed-image seam: make_png -> decode_png_pixels
+    recovers the closed-form pixel bytes exactly. Heights >= 6 force every
+    scanline filter type (encode uses filter y % 5), so Sub/Up/Average/
+    Paeth un-filtering and the zlib inflate are all on the hash path; a
+    flipped chunk byte must fail the CRC check."""
+    import pytest as _pt
+
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+        decode_png_pixels,
+        make_png,
+    )
+
+    for w in (1, 2, 3, 5, 8):
+        for h in (1, 6, 9):               # >= 6 rows -> all 5 filters used
+            seed = (w * 31 + h) % 241
+            payload = make_png(w, h, seed)
+            assert payload[:8] == PNG_SIG
+            gw, gh, rows = decode_png_pixels(payload)
+            assert (gw, gh) == (w, h)
+            flat = b"".join(rows)
+            assert flat == bytes((seed + j) % 256 for j in range(w * h * 3))
+            _, _, psum = decode_png(payload)
+            assert psum == sum(flat)
+    corrupted = bytearray(make_png(4, 7, 11))
+    corrupted[20] ^= 0xFF                  # inside the IHDR chunk data
+    with _pt.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(corrupted))
+
+
+def test_png_resize_real_and_seam_wiring(spark):
+    """resize_png output is itself a valid PNG whose pixels are exact
+    nearest-neighbor source samples (resize_bmp's rule); the distributed
+    paths (extract_features / resize_images / decode_media_features with
+    the with_png=True 4-format mix) all run image/png with fake=False."""
+    from pyspark.sql import functions as F
+
+    from high_performance_parallel_search_engine_spark.operators.multimodal import (
+        decode_media_features,
+        decode_png_pixels,
+        extract_features,
+        make_png,
+        resize_images,
+        resize_png,
+        synth_real_media_df,
+    )
+
+    sw, sh, seed = 5, 6, 17
+    out = resize_png(make_png(sw, sh, seed), 3, 2)
+    w, h, rows = decode_png_pixels(out)
+    assert (w, h) == (3, 2)
+    src = [bytes((seed + y * sw * 3 + x) % 256 for x in range(sw * 3))
+           for y in range(sh)]
+    for y in range(2):
+        sy = min(y * sh // 2, sh - 1)
+        expect = b"".join(src[sy][min(x * sw // 3, sw - 1) * 3:]
+                          [:3] for x in range(3))
+        assert rows[y] == expect
+
+    docs = spark.range(16).withColumnRenamed("id", "doc_id")
+    media = synth_real_media_df(spark, docs, with_png=True)
+    # doc_id % 4 == 3 rows are PNG images
+    feats = {r["media_id"]: r
+             for r in extract_features(media, fake=False).collect()}
+    assert feats[3]["feature"][0] == float(2 + 3 % 5)   # png width
+    assert feats[3]["feature"][1] == float(2 + 3 % 7)   # png height
+    dec = {r["media_id"]: r
+           for r in decode_media_features(media).collect()}
+    w3, h3 = 2 + 3 % 5, 2 + 3 % 7
+    assert dec[3]["payload_sum"] == sum(
+        (3 % 241 + j) % 256 for j in range(w3 * h3 * 3))
+    # distributed resize of the png rows only (frame_pixel_sums stays a
+    # BMP-frame reducer, so png outputs are decoded directly)
+    png_rows = media.where(F.col("mime") == "image/png")
+    resized = resize_images(png_rows, width=3, height=2, fake=False)
+    got = {r["media_id"]: decode_png_pixels(bytes(r["payload"]))
+           for r in resized.collect()}
+    assert set(got) == {3, 7, 11, 15}
+    assert all(v[0] == 3 and v[1] == 2 for v in got.values())
