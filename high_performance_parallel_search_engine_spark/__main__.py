@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pages-table", metavar="PARQUET",
                     help="parquet of (url, warc_ts, html, lang) to crawl "
                          "over; default: deterministic synthetic web")
+    ap.add_argument("--pages-warc", metavar="DIR",
+                    help="directory of .warc.gz files (Common Crawl "
+                         "layout) to crawl over: records are parsed once "
+                         "into a bucketed parquet pages table under "
+                         "--workdir, then crawled with bucket pruning "
+                         "(sources/warc.py)")
     ap.add_argument("--workdir", help="checkpoint dir (default: temp dir)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the last committed round in --workdir")
@@ -156,13 +162,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         master = f"local[{args.threads}]" if args.threads else None
         spark = build_session("hppse-cli", master=master,
                               shuffle_partitions=args.threads)
+    workdir = args.workdir or tempfile.mkdtemp(prefix="hppse-crawl-")
+    pages_buckets = None
     if args.pages_table:
         pages = spark.read.parquet(args.pages_table) \
             .select("url", "warc_ts", "html", "lang")
+    elif args.pages_warc:
+        # parse the archives ONCE into a bucketed parquet table (a crawl
+        # scans its pages table every round; re-inflating gzip per round
+        # would multiply the decode cost by the round count), then crawl
+        # with bucket pruning - the same WARC -> bucketed-parquet -> crawl
+        # composition SCALING.md documents for the 100 TB path
+        from .sources.tables import read_bucketed_pages, write_bucketed_pages
+        from .sources.warc import read_warc_gz
+
+        staged = f"{workdir}/_pages_from_warc.parquet"
+        write_bucketed_pages(read_warc_gz(spark, args.pages_warc), staged,
+                             n_buckets=16)
+        pages, pages_buckets = read_bucketed_pages(spark, staged)
+        print(f"Parsed WARC archives from {args.pages_warc} "
+              f"-> {staged} (16 buckets)")
     else:
         pages = build_corpus_df(spark).select("url", "warc_ts", "html", "lang")
-
-    workdir = args.workdir or tempfile.mkdtemp(prefix="hppse-crawl-")
     priority = {"fifo": False, "north": True, "openmp": "openmp"}[args.priority]
     politeness = None
     if args.budget:
@@ -179,7 +200,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       spark.read.parquet(args.robots_table)).collect()]
     cfg = CrawlConfig(max_depth=depth, max_pages=max_pages,
                       priority=priority, politeness=politeness,
-                      robots=robots)
+                      robots=robots, pages_buckets=pages_buckets)
     _warn_resume_overrides(args)
     t0 = time.perf_counter()
     try:

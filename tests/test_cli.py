@@ -151,3 +151,33 @@ def test_cli_budget_and_robots_flags(spark, tmp_path, capsys):
     acts = {r["action"] for r in ev.select("action").distinct().collect()}
     assert "robots_denied" in acts   # /p/1 blocked
     assert "deferred" in acts        # budget 4/round binds
+
+
+def test_cli_pages_warc(spark, tmp_path, capsys):
+    """--pages-warc crawls straight from Common-Crawl-layout .warc.gz
+    archives: records stage once into a bucketed parquet pages table under
+    the workdir, then the crawl runs with bucket pruning."""
+    import pandas as pd
+
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        corpus_rows,
+    )
+    from high_performance_parallel_search_engine_spark.sources.warc import (
+        write_warc_gz,
+    )
+
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=20, n_medium=0,
+                            with_oracle_text=False))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows)[["url", "warc_ts", "html", "lang"]])
+    warc_dir = str(tmp_path / "warc")
+    write_warc_gz(src, warc_dir, records_per_file=8)
+
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "3", "-p", "15",
+               "--pages-warc", warc_dir, "-q", "crawl",
+               "--workdir", str(tmp_path / "w")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Parsed WARC archives" in out
+    assert "Successfully crawled" in out
+    assert "Query processed in" in out
