@@ -49,15 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-t", "--threads", type=int, default=None,
                     help="parallelism (local[N] master + shuffle partitions)")
     ap.add_argument("-q", "--query", help="BM25 query to run after the crawl")
-    ap.add_argument("--pages-table", metavar="PARQUET",
-                    help="parquet of (url, warc_ts, html, lang) to crawl "
-                         "over; default: deterministic synthetic web")
-    ap.add_argument("--pages-warc", metavar="DIR",
-                    help="directory of .warc.gz files (Common Crawl "
-                         "layout) to crawl over: records are parsed once "
-                         "into a bucketed parquet pages table under "
-                         "--workdir, then crawled with bucket pruning "
-                         "(sources/warc.py)")
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--pages-table", metavar="PARQUET",
+                     help="parquet of (url, warc_ts, html, lang) to crawl "
+                          "over; default: deterministic synthetic web")
+    src.add_argument("--pages-warc", metavar="DIR",
+                     help="directory of .warc.gz files (Common Crawl "
+                          "layout) to crawl over: records are parsed once "
+                          "into a bucketed parquet pages table under "
+                          "--workdir, then crawled with bucket pruning "
+                          "(sources/warc.py); a --resume/--resume-from run "
+                          "reuses the staged table instead of re-parsing")
     ap.add_argument("--workdir", help="checkpoint dir (default: temp dir)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the last committed round in --workdir")
@@ -172,16 +174,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # scans its pages table every round; re-inflating gzip per round
         # would multiply the decode cost by the round count), then crawl
         # with bucket pruning - the same WARC -> bucketed-parquet -> crawl
-        # composition SCALING.md documents for the 100 TB path
+        # composition SCALING.md documents for the 100 TB path. A resumed
+        # run reuses the table staged by the interrupted run: re-ingesting
+        # the full archive set would make resume cost O(ingest) every time.
+        import os
+
         from .sources.tables import read_bucketed_pages, write_bucketed_pages
         from .sources.warc import read_warc_gz
 
         staged = f"{workdir}/_pages_from_warc.parquet"
-        write_bucketed_pages(read_warc_gz(spark, args.pages_warc), staged,
-                             n_buckets=16)
+        resuming = args.resume or args.resume_from is not None
+        if resuming and os.path.isdir(staged):
+            print(f"Reusing staged WARC pages table: {staged}")
+        else:
+            write_bucketed_pages(read_warc_gz(spark, args.pages_warc),
+                                 staged, n_buckets=16)
+            print(f"Parsed WARC archives from {args.pages_warc} "
+                  f"-> {staged} (16 buckets)")
         pages, pages_buckets = read_bucketed_pages(spark, staged)
-        print(f"Parsed WARC archives from {args.pages_warc} "
-              f"-> {staged} (16 buckets)")
     else:
         pages = build_corpus_df(spark).select("url", "warc_ts", "html", "lang")
     priority = {"fifo": False, "north": True, "openmp": "openmp"}[args.priority]

@@ -383,21 +383,29 @@ def decode_png(payload: bytes) -> tuple[int, int, int]:
     return w, h, sum(sum(r) for r in rows)
 
 
+def nn_sample_rows(rows: list[bytes], sw: int, sh: int,
+                   w: int, h: int, bpp: int = 3) -> list[bytes]:
+    """THE nearest-neighbor sampling rule, shared by every real resize
+    path (BMP and PNG) and re-derived by the resize_real DuckDB oracle:
+    sy = min(y*sh//h, sh-1), sx = min(x*sw//w, sw-1). One definition, so
+    the codecs and the oracle cannot drift apart."""
+    out_rows = []
+    for y in range(h):
+        src = rows[min(y * sh // h, sh - 1)]
+        row = bytearray()
+        for x in range(w):
+            sx = min(x * sw // w, sw - 1)
+            row += src[sx * bpp:(sx + 1) * bpp]
+        out_rows.append(bytes(row))
+    return out_rows
+
+
 def resize_png(payload: bytes, w: int, h: int) -> bytes:
     """REAL nearest-neighbor resize for 8-bit RGB PNG: inflate + un-filter,
     sample, re-filter + deflate. Output is itself a valid PNG that
     decode_png_pixels round-trips (same sampling rule as resize_bmp)."""
     sw, sh, rows = decode_png_pixels(payload)
-    out_rows = []
-    for y in range(h):
-        sy = min(y * sh // h, sh - 1)
-        src = rows[sy]
-        row = bytearray()
-        for x in range(w):
-            sx = min(x * sw // w, sw - 1)
-            row += src[sx * 3:sx * 3 + 3]
-        out_rows.append(bytes(row))
-    return encode_png(w, h, out_rows)
+    return encode_png(w, h, nn_sample_rows(rows, sw, sh, w, h))
 
 
 def _decode_stub(payload: bytes, kind: str, fake: bool,
@@ -617,16 +625,7 @@ def resize_bmp(payload: bytes, w: int, h: int) -> bytes:
     struct parsing, no codec libraries): decode pixels, sample, re-encode.
     Output is itself a valid BMP that decode_bmp_pixels round-trips."""
     sw, sh, rows = decode_bmp_pixels(payload)
-    out_rows = []
-    for y in range(h):
-        sy = min(y * sh // h, sh - 1)
-        src = rows[sy]
-        row = bytearray()
-        for x in range(w):
-            sx = min(x * sw // w, sw - 1)
-            row += src[sx * 3:sx * 3 + 3]
-        out_rows.append(bytes(row))
-    return encode_bmp(w, h, out_rows)
+    return encode_bmp(w, h, nn_sample_rows(rows, sw, sh, w, h))
 
 
 def _resize_stub(payload: bytes, w: int, h: int, fake: bool,

@@ -54,6 +54,14 @@ def make_warc_record(url: str, ts: datetime, html: bytes,
     http = (f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: text/html; charset=utf-8\r\n"
             f"Content-Length: {len(html)}\r\n\r\n").encode() + html
+    # naive timestamps are UTC by contract (the engine's Spark session is
+    # pinned to UTC, so collected warc_ts values are naive UTC wall times);
+    # astimezone() on a naive datetime would instead assume MACHINE-LOCAL
+    # time and shift every date by the host's UTC offset. WARC/1.0 dates
+    # are second-resolution - sub-second precision truncates here (the
+    # reader accepts fractional seconds if a producer wrote them).
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
     wdate = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     headers = [
         b"WARC/1.0",
@@ -118,28 +126,93 @@ def _split_headers(block: bytes) -> dict[bytes, bytes]:
     return out
 
 
+_INFLATE_CHUNK = 1 << 20
+
+
+def _iter_inflated(data: bytes) -> Iterator[bytes]:
+    """Inflate concatenated gzip members, feeding the compressed stream in
+    bounded slices (memoryview, no tail copies). A naive per-member loop
+    that re-feeds the whole remaining file and takes `unused_data` back
+    copies the ~1 GB tail once per member - O(members x file) at Common
+    Crawl's one-member-per-record layout; here `unused_data` is bounded by
+    one chunk, so inflation is O(file)."""
+    view = memoryview(data)
+    pos = 0
+    d = zlib.decompressobj(47)
+    carry = b""      # post-member remainder of the last chunk (<= 1 chunk)
+    while pos < len(view) or carry:
+        if carry:
+            chunk: bytes | memoryview = carry
+            carry = b""
+        else:
+            chunk = view[pos:pos + _INFLATE_CHUNK]
+            pos += len(chunk)
+        out = d.decompress(chunk)
+        if out:
+            yield out
+        if d.eof:                       # gzip member boundary
+            tail = d.flush()
+            if tail:
+                yield tail
+            carry = bytes(d.unused_data)
+            d = zlib.decompressobj(47)
+
+
+def _decode_http_body(head: dict[bytes, bytes], body: bytes) -> bytes:
+    """Undo HTTP framing/compression a real Common Crawl capture preserves:
+    Transfer-Encoding: chunked de-framing and Content-Encoding gzip/deflate
+    decompression (best effort - a malformed body falls back to raw bytes,
+    matching how lenient archive readers behave)."""
+    if b"chunked" in head.get(b"transfer-encoding", b"").lower():
+        out = bytearray()
+        pos = 0
+        while True:
+            nl = body.find(_CRLF, pos)
+            if nl < 0:
+                break
+            try:
+                size = int(body[pos:nl].split(b";")[0].strip() or b"0", 16)
+            except ValueError:
+                return bytes(body)      # malformed framing: raw fallback
+            if size == 0:
+                break
+            out += body[nl + 2:nl + 2 + size]
+            pos = nl + 2 + size + 2     # skip the chunk's trailing CRLF
+        body = bytes(out)
+    enc = head.get(b"content-encoding", b"").lower()
+    if enc in (b"gzip", b"x-gzip", b"deflate"):
+        try:
+            body = zlib.decompressobj(47 if b"gzip" in enc else 15
+                                      ).decompress(body)
+        except zlib.error:
+            try:                        # some servers send raw deflate
+                body = zlib.decompressobj(-15).decompress(body)
+            except zlib.error:
+                pass                    # undecodable: keep raw bytes
+    return body
+
+
 def iter_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes, str]]:
     """Stream (url, warc_date, html, lang) from .warc.gz bytes.
 
-    Members inflate one at a time through zlib decompressobj (wbits=47
-    accepts the gzip wrapper); each member's unused_data chains into the
-    next, so memory is bounded by one record, not the file. Record bodies
-    are sliced by Content-Length (never by scanning for separators - html
-    legally contains anything), and the HTTP header block is stripped by
-    its own CRLFCRLF boundary. Non-response records (warcinfo, request,
-    metadata) are skipped, as a Common Crawl reader must."""
-    rest = data
+    Members inflate through _iter_inflated (bounded chunks - memory and
+    copying stay O(largest record + chunk), never O(file) per member).
+    Record bodies are sliced by Content-Length (never by scanning for
+    separators - html legally contains anything), the HTTP header block is
+    stripped by its own CRLFCRLF boundary, and chunked/gzip HTTP bodies
+    are decoded (real Common Crawl captures preserve raw framing).
+    Non-response records (warcinfo, request, metadata) are skipped, as a
+    Common Crawl reader must."""
+    chunks = _iter_inflated(data)
     buf = b""
+    done = False
     while True:
-        if rest:
-            d = zlib.decompressobj(47)
-            buf += d.decompress(rest)
-            buf += d.flush()
-            rest = d.unused_data
-        # parse complete records out of buf; a record may span members
-        # only in non-Common-Crawl layouts, so keep the general loop
+        # parse complete records out of buf; records may span members in
+        # non-Common-Crawl layouts, so parsing never assumes alignment
+        need = None    # bytes buf must reach for the next stalled record
         while True:
-            he = buf.find(_CRLF * 2)
+            buf = buf.lstrip(b"\r\n")   # inter-record separator, possibly
+            he = buf.find(_CRLF * 2)    # split across member boundaries
             if he < 0:
                 break
             if not buf.startswith(b"WARC/"):
@@ -148,9 +221,10 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes, str]]:
             clen = int(head.get(b"content-length", b"0"))
             body_start = he + 4
             if len(buf) < body_start + clen:
-                break  # need the next member
+                need = body_start + clen
+                break  # need more inflated data
             body = buf[body_start:body_start + clen]
-            buf = buf[body_start + clen:].lstrip(b"\r\n")
+            buf = buf[body_start + clen:]
             if head.get(b"warc-type") != b"response":
                 continue
             url = head.get(b"warc-target-uri", b"").decode()
@@ -158,10 +232,29 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes, str]]:
             lang = head.get(b"warc-identified-content-language",
                             b"").decode()
             hhe = body.find(_CRLF * 2)
-            html = body[hhe + 4:] if hhe >= 0 else body
+            if hhe >= 0:
+                html = _decode_http_body(_split_headers(body[:hhe]),
+                                         body[hhe + 4:])
+            else:
+                html = body
             yield url, wdate, html, lang
-        if not rest:
-            break  # no more members; any leftover buf is a truncated tail
+        if done:
+            break  # any leftover buf is a truncated tail
+        # accumulate chunks up to the stalled record's known length before
+        # re-joining, so a record spanning many chunks costs one join, not
+        # one per chunk (quadratic in record size otherwise)
+        parts = [buf]
+        total = len(buf)
+        while True:
+            nxt = next(chunks, None)
+            if nxt is None:
+                done = True
+                break
+            parts.append(nxt)
+            total += len(nxt)
+            if need is None or total >= need:
+                break
+        buf = b"".join(parts)
 
 
 def read_warc_gz(spark: SparkSession, path: str,

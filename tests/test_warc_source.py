@@ -105,3 +105,74 @@ def test_crawl_over_warc_sourced_pages(spark, tmp_path):
     st2 = run_crawl(spark, src, [page_url(0, 0), page_url(1, 0)], wd2, cfg)
     assert st1.pages_crawled == st2.pages_crawled > 0
     assert st1.round == st2.round
+
+
+def test_warc_reader_member_boundary_splits_separator():
+    """A gzip member ending exactly at a record's Content-Length boundary
+    leaves the inter-record CRLFCRLF at the START of the next member; the
+    parser must strip it there too, not only after slicing a record."""
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    r1 = make_warc_record("https://h/1", ts, b"<a>", "en")
+    r2 = make_warc_record("https://h/2", ts, b"<b>", "en")
+    body_end = r1.rfind(b"\r\n\r\n")  # split r1's trailing separator off
+    data = (gzip.compress(r1[:body_end], mtime=0)
+            + gzip.compress(r1[body_end:] + r2, mtime=0))
+    got = list(iter_warc_records(data))
+    assert [g[0] for g in got] == ["https://h/1", "https://h/2"]
+    assert got[0][2] == b"<a>" and got[1][2] == b"<b>"
+
+
+def test_warc_reader_decodes_chunked_and_gzipped_http_bodies():
+    """Real Common Crawl captures preserve raw HTTP framing: chunked
+    transfer encoding is de-framed and gzip content encoding inflated."""
+    html = b"<html><body>hello chunked world</body></html>"
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               + b"10\r\n" + html[:16] + b"\r\n"
+               + format(len(html) - 16, "x").encode() + b"\r\n"
+               + html[16:] + b"\r\n0\r\n\r\n")
+    gz_body = gzip.compress(html, mtime=0)
+    gzipped = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+               b"Content-Length: " + str(len(gz_body)).encode()
+               + b"\r\n\r\n" + gz_body)
+
+    def record(url, http):
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode()
+                + b"\r\n\r\n" + http + b"\r\n\r\n")
+
+    data = (gzip.compress(record(b"https://h/c", chunked), mtime=0)
+            + gzip.compress(record(b"https://h/g", gzipped), mtime=0))
+    got = {u: h for u, _, h, _ in iter_warc_records(data)}
+    assert got["https://h/c"] == html
+    assert got["https://h/g"] == html
+
+
+def test_warc_writer_treats_naive_timestamps_as_utc():
+    """The engine's Spark session is pinned to UTC, so collected warc_ts
+    values are NAIVE UTC wall times; the writer must not reinterpret them
+    in the machine's local timezone (astimezone on naive = local)."""
+    from datetime import timedelta, timezone as _tz
+
+    naive = datetime(2026, 3, 4, 5, 6, 7)  # no tzinfo
+    rec = make_warc_record("https://h/t", naive, b"<x>", None)
+    assert b"WARC-Date: 2026-03-04T05:06:07Z" in rec
+    # and an aware non-UTC timestamp still converts correctly
+    aware = datetime(2026, 3, 4, 5, 6, 7,
+                     tzinfo=_tz(timedelta(hours=-5)))
+    rec2 = make_warc_record("https://h/t", aware, b"<x>", None)
+    assert b"WARC-Date: 2026-03-04T10:06:07Z" in rec2
+
+
+def test_cli_rejects_both_page_sources():
+    import pytest as _pt
+
+    from high_performance_parallel_search_engine_spark.__main__ import (
+        build_parser,
+    )
+
+    with _pt.raises(SystemExit):
+        build_parser().parse_args(["-c", "x", "--pages-table", "t",
+                                   "--pages-warc", "w"])
