@@ -69,9 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="HOST=N",
                     help="per-host politeness budget (fetches/round); "
                          "repeatable; use *=N for the default budget")
-    ap.add_argument("--robots-table", metavar="PARQUET",
+    rb = ap.add_mutually_exclusive_group()
+    rb.add_argument("--robots-table", metavar="PARQUET",
                     help="parquet of (host, robots_txt) bodies; parsed "
                          "distributed into allow/disallow prefix rules")
+    rb.add_argument("--robots-warc", metavar="DIR",
+                    help="directory of .warc.gz robots.txt captures "
+                         "(Common Crawl robotstxt layout); response "
+                         "records for */robots.txt become the "
+                         "(host, robots_txt) table, then the same "
+                         "distributed rule parse as --robots-table")
     ap.add_argument("--resume-from", type=int, default=None, metavar="R",
                     help="rewind to round R's snapshot and replay from there")
     ap.add_argument("--overwrite", action="store_true",
@@ -99,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
 # --resume/--resume-from (run_crawl reloads cfg from the manifest)
 _RESUME_IGNORED = [("depth", 2, "-d"), ("max_pages", 10, "-p"),
                    ("priority", "fifo", "--priority"), ("budget", [], "--budget"),
-                   ("robots_table", None, "--robots-table")]
+                   ("robots_table", None, "--robots-table"),
+                   ("robots_warc", None, "--robots-warc")]
 
 
 def _warn_resume_overrides(args) -> None:
@@ -202,12 +210,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             host, _, n = spec.partition("=")
             politeness[host] = int(n)
     robots = None
-    if args.robots_table:
+    if args.robots_table or args.robots_warc:
         from .operators.robots import robots_rules_from_df
 
+        if args.robots_table:
+            bodies = spark.read.parquet(args.robots_table)
+        else:
+            from .sources.warc import robots_df_from_warc
+
+            bodies = robots_df_from_warc(spark, args.robots_warc)
         robots = [(r["host"], r["rule"], r["path_prefix"]) for r in
-                  robots_rules_from_df(
-                      spark.read.parquet(args.robots_table)).collect()]
+                  robots_rules_from_df(bodies).collect()]
     cfg = CrawlConfig(max_depth=depth, max_pages=max_pages,
                       priority=priority, politeness=politeness,
                       robots=robots, pages_buckets=pages_buckets)

@@ -290,3 +290,23 @@ def read_warc_gz(spark: SparkSession, path: str,
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+def robots_df_from_warc(spark: SparkSession, path: str,
+                        pattern: str = "*.warc.gz") -> DataFrame:
+    """Common Crawl also ships per-host robots.txt captures as WARC
+    (crawl-data/CC-MAIN-*/segments/*/robotstxt/): filter the response
+    records whose target path is /robots.txt and emit the
+    (host, robots_txt) table that operators.robots.robots_rules_from_df
+    parses distributed - the whole robots pipeline then runs off the same
+    archive layout as the pages themselves."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urlsql import host_col
+
+    pages = read_warc_gz(spark, path, pattern)
+    return (pages
+            .where(F.lower(F.split(F.col("url"), r"[?#]")[0])
+                   .endswith("/robots.txt"))
+            .select(host_col(F.col("url")).alias("host"),
+                    F.decode("html", "utf-8").alias("robots_txt")))

@@ -176,3 +176,73 @@ def test_cli_rejects_both_page_sources():
     with _pt.raises(SystemExit):
         build_parser().parse_args(["-c", "x", "--pages-table", "t",
                                    "--pages-warc", "w"])
+
+
+def test_robots_df_from_warc(spark, tmp_path):
+    """robots.txt captures read from the same WARC layout feed the robots
+    rules pipeline end to end."""
+    from high_performance_parallel_search_engine_spark.operators.robots import (
+        robots_rules_from_df,
+    )
+    from high_performance_parallel_search_engine_spark.sources.warc import (
+        robots_df_from_warc,
+    )
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    robots_a = b"User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    recs = [
+        ("https://a.example.com/robots.txt", ts, robots_a, None),
+        ("https://b.example.com/robots.txt?x=1", ts,
+         b"User-agent: *\nDisallow: /\n", None),
+        ("https://a.example.com/page", ts, b"<html>not robots</html>", None),
+    ]
+    d = tmp_path / "rw"
+    d.mkdir()
+    (d / "r.warc.gz").write_bytes(make_warc_gz(recs))
+
+    df = robots_df_from_warc(spark, str(d))
+    got = {r["host"]: r["robots_txt"] for r in df.collect()}
+    assert set(got) == {"a.example.com", "b.example.com"}
+    assert "Disallow: /private" in got["a.example.com"]
+
+    rules = robots_rules_from_df(df).collect()
+    by_host = {}
+    for r in rules:
+        by_host.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
+    assert ("disallow", "/private") in by_host["a.example.com"]
+    assert ("allow", "/private/ok") in by_host["a.example.com"]
+    assert ("disallow", "/") in by_host["b.example.com"]
+
+
+def test_cli_robots_warc_blocks_paths(spark, tmp_path, capsys):
+    """--robots-warc end to end: a Disallow rule read from a WARC robots
+    capture prunes the crawl exactly like --robots-table."""
+    from high_performance_parallel_search_engine_spark.__main__ import main
+
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=15, n_medium=0,
+                            with_oracle_text=False))
+    src = _pages_df(spark, rows)
+    warc_dir = str(tmp_path / "pages")
+    write_warc_gz(src, warc_dir, records_per_file=10)
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rdir = tmp_path / "robots"
+    rdir.mkdir()
+    (rdir / "r.warc.gz").write_bytes(make_warc_gz([
+        ("https://host0.example.com/robots.txt", ts,
+         b"User-agent: *\nDisallow: /\n", None)]))
+
+    wd_blocked = str(tmp_path / "wb")
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "3", "-p", "15",
+               "--pages-warc", warc_dir, "--robots-warc", str(rdir),
+               "--workdir", wd_blocked])
+    out = capsys.readouterr().out
+    # Disallow: / blocks everything except... the seed itself is subject
+    # to robots too, so the crawl fetches nothing
+    assert rc == 1 and "Failed to crawl" in out
+
+    wd_open = str(tmp_path / "wo")
+    rc2 = main(["-c", "https://host0.example.com/p/0", "-d", "3", "-p", "15",
+                "--pages-warc", warc_dir, "--workdir", wd_open])
+    out2 = capsys.readouterr().out
+    assert rc2 == 0 and "Successfully crawled" in out2
