@@ -173,6 +173,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = build_session("hppse-cli", master=master,
                               shuffle_partitions=args.threads)
     workdir = args.workdir or tempfile.mkdtemp(prefix="hppse-crawl-")
+    resuming = args.resume or args.resume_from is not None
     pages_buckets = None
     if args.pages_table:
         pages = spark.read.parquet(args.pages_table) \
@@ -187,12 +188,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # the full archive set would make resume cost O(ingest) every time.
         import os
 
-        from .sources.tables import read_bucketed_pages, write_bucketed_pages
+        from .sources.tables import (
+            BUCKETING_META,
+            read_bucketed_pages,
+            write_bucketed_pages,
+        )
         from .sources.warc import read_warc_gz
 
         staged = f"{workdir}/_pages_from_warc.parquet"
-        resuming = args.resume or args.resume_from is not None
-        if resuming and os.path.isdir(staged):
+        # reuse requires the COMPLETED staging (the bucketing sidecar is
+        # written last): a mid-ingest kill leaves a partial directory that
+        # must be re-staged, not "reused" into a FileNotFoundError
+        if resuming and os.path.isfile(f"{staged}/{BUCKETING_META}"):
             print(f"Reusing staged WARC pages table: {staged}")
         else:
             write_bucketed_pages(read_warc_gz(spark, args.pages_warc),
@@ -210,7 +217,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             host, _, n = spec.partition("=")
             politeness[host] = int(n)
     robots = None
-    if args.robots_table or args.robots_warc:
+    # on resume the manifest config wins (run_crawl reloads it), so the
+    # robots archive parse + rules collect would be paid and thrown away
+    if (args.robots_table or args.robots_warc) and not resuming:
         from .operators.robots import robots_rules_from_df
 
         if args.robots_table:

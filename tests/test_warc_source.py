@@ -72,9 +72,9 @@ def test_warc_reader_skips_non_response_and_separator_bodies():
             + gzip.compress(resp, mtime=0))
     got = list(iter_warc_records(data))
     assert len(got) == 1
-    url, wdate, html, lang = got[0]
+    url, wdate, html, lang, status = got[0]
     assert url == "https://h/p" and html == tricky and lang == "en"
-    assert wdate == "2026-01-02T03:04:05Z"
+    assert wdate == "2026-01-02T03:04:05Z" and status == 200
 
 
 def test_warc_reader_rejects_garbage():
@@ -145,7 +145,7 @@ def test_warc_reader_decodes_chunked_and_gzipped_http_bodies():
 
     data = (gzip.compress(record(b"https://h/c", chunked), mtime=0)
             + gzip.compress(record(b"https://h/g", gzipped), mtime=0))
-    got = {u: h for u, _, h, _ in iter_warc_records(data)}
+    got = {u: h for u, _, h, _, _ in iter_warc_records(data)}
     assert got["https://h/c"] == html
     assert got["https://h/g"] == html
 
@@ -246,3 +246,91 @@ def test_cli_robots_warc_blocks_paths(spark, tmp_path, capsys):
                 "--pages-warc", warc_dir, "--workdir", wd_open])
     out2 = capsys.readouterr().out
     assert rc2 == 0 and "Successfully crawled" in out2
+
+
+def test_robots_from_warc_latest_capture_and_status_semantics(spark, tmp_path):
+    """Archives carry the full capture history and fetch-chain statuses:
+    only the LATEST capture per host rules (a stale Disallow must not
+    override the current policy), a 5xx capture means conservative
+    disallow-all, and a 3xx/4xx capture means no rules (allow-all)."""
+    from high_performance_parallel_search_engine_spark.operators.robots import (
+        robots_rules_from_df,
+    )
+    from high_performance_parallel_search_engine_spark.sources.warc import (
+        make_warc_record,
+        robots_df_from_warc,
+    )
+
+    old = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    new = datetime(2026, 2, 1, tzinfo=timezone.utc)
+    recs = [
+        # host a: stale full Disallow, then a newer open policy
+        make_warc_record("https://a.ex.com/robots.txt", old,
+                         b"User-agent: *\nDisallow: /\n", None),
+        make_warc_record("https://a.ex.com/robots.txt", new,
+                         b"User-agent: *\nDisallow: /private\n", None),
+        # host b: latest capture is a 503 -> conservative disallow-all
+        make_warc_record("https://b.ex.com/robots.txt", new,
+                         b"<html>err</html>", None, status=503),
+        # host c: latest capture is a 301 -> no rules
+        make_warc_record("https://c.ex.com/robots.txt", new,
+                         b"<html>moved</html>", None, status=301),
+    ]
+    d = tmp_path / "rw2"
+    d.mkdir()
+    (d / "r.warc.gz").write_bytes(
+        b"".join(gzip.compress(r, mtime=0) for r in recs))
+
+    df = robots_df_from_warc(spark, str(d))
+    got = {r["host"]: r["robots_txt"] for r in df.collect()}
+    assert "Disallow: /private" in got["a.ex.com"]
+    assert "Disallow: /\n" not in got["a.ex.com"]  # stale capture dropped
+    assert got["b.ex.com"].strip().endswith("Disallow: /")
+    assert got["c.ex.com"] == ""
+
+    rules = robots_rules_from_df(df).collect()
+    by_host = {}
+    for r in rules:
+        by_host.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
+    assert by_host["a.ex.com"] == [("disallow", "/private")]
+    assert by_host["b.ex.com"] == [("disallow", "/")]
+    assert "c.ex.com" not in by_host
+
+
+def test_cli_pages_warc_resume_reuses_completed_staging(spark, tmp_path,
+                                                        capsys):
+    """--resume reuses the staged pages table only when staging COMPLETED
+    (bucketing sidecar present); a fresh run always re-stages."""
+    import os
+
+    from high_performance_parallel_search_engine_spark.__main__ import main
+    from high_performance_parallel_search_engine_spark.sources.tables import (
+        BUCKETING_META,
+    )
+
+    rows = list(corpus_rows(n_hosts=1, pages_per_host=12, n_medium=0,
+                            with_oracle_text=False))
+    src = _pages_df(spark, rows)
+    warc_dir = str(tmp_path / "pages")
+    write_warc_gz(src, warc_dir, records_per_file=10)
+    wd = str(tmp_path / "w")
+
+    args = ["-c", "https://host0.example.com/p/0", "-d", "2", "-p", "10",
+            "--pages-warc", warc_dir, "--workdir", wd]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "Parsed WARC archives" in out
+    staged = f"{wd}/_pages_from_warc.parquet"
+    assert os.path.isfile(f"{staged}/{BUCKETING_META}")
+
+    # resume: completed staging is reused, no re-parse
+    assert main(args + ["--resume"]) == 0
+    out2 = capsys.readouterr().out
+    assert "Reusing staged WARC pages table" in out2
+    assert "Parsed WARC archives" not in out2
+
+    # resume with INCOMPLETE staging (sidecar missing): re-stage
+    os.remove(f"{staged}/{BUCKETING_META}")
+    assert main(args + ["--resume"]) == 0
+    out3 = capsys.readouterr().out
+    assert "Parsed WARC archives" in out3
