@@ -195,15 +195,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         from .sources.warc import read_warc_gz
 
+        import json as _json
+
         staged = f"{workdir}/_pages_from_warc.parquet"
+        src_marker = f"{staged}/_source.json"
         # reuse requires the COMPLETED staging (the bucketing sidecar is
-        # written last): a mid-ingest kill leaves a partial directory that
-        # must be re-staged, not "reused" into a FileNotFoundError
-        if resuming and os.path.isfile(f"{staged}/{BUCKETING_META}"):
+        # written last - a mid-ingest kill leaves a partial directory that
+        # must be re-staged, not "reused" into a FileNotFoundError) AND
+        # the SAME source directory (a resume pointed at a different
+        # archive dir must not silently crawl the stale staged corpus)
+        src_now = os.path.abspath(args.pages_warc)
+        staged_src = None
+        if os.path.isfile(src_marker):
+            staged_src = _json.load(open(src_marker)).get("pages_warc")
+        if (resuming and os.path.isfile(f"{staged}/{BUCKETING_META}")
+                and staged_src == src_now):
             print(f"Reusing staged WARC pages table: {staged}")
         else:
+            if resuming and staged_src is not None and staged_src != src_now:
+                print(f"Warning: staged pages table came from {staged_src}; "
+                      f"re-staging from {src_now}")
             write_bucketed_pages(read_warc_gz(spark, args.pages_warc),
                                  staged, n_buckets=16)
+            with open(src_marker, "w") as fh:
+                _json.dump({"pages_warc": src_now}, fh)
             print(f"Parsed WARC archives from {args.pages_warc} "
                   f"-> {staged} (16 buckets)")
         pages, pages_buckets = read_bucketed_pages(spark, staged)

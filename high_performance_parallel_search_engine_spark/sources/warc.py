@@ -76,13 +76,15 @@ def make_warc_record(url: str, ts: datetime, html: bytes,
     return _CRLF.join(headers) + _CRLF * 2 + http + _CRLF * 2
 
 
-def make_warc_gz(records: list[tuple[str, datetime, bytes, str | None]]) -> bytes:
+def make_warc_gz(records: list[tuple]) -> bytes:
     """A .warc.gz byte string: each record its own gzip member (the Common
-    Crawl layout), members concatenated. mtime is pinned so the output is
-    deterministic."""
+    Crawl layout), members concatenated. Records are (url, ts, html, lang)
+    tuples with an optional 5th element, the HTTP status (default 200).
+    mtime is pinned so the output is deterministic."""
     out = io.BytesIO()
-    for url, ts, html, lang in records:
-        raw = make_warc_record(url, ts, html, lang)
+    for url, ts, html, lang, *rest in records:
+        raw = make_warc_record(url, ts, html, lang,
+                               status=rest[0] if rest else 200)
         out.write(gzip.compress(raw, mtime=0))
     return out.getvalue()
 
@@ -143,10 +145,12 @@ def _iter_inflated(data: bytes) -> Iterator[bytes]:
     tail once per member - O(members x file) at Common Crawl's
     one-member-per-record layout. Here a member boundary mid-chunk just
     REWINDS the read position by len(unused_data) and re-slices the
-    memoryview, so no compressed byte is ever copied at all - inflation is
-    O(file) regardless of member count or chunk size (round-5 review: the
-    earlier bytes(unused_data) carry still copied the chunk tail once per
-    member, ~2.5x slower on tiny-record robots archives)."""
+    memoryview, so THIS loop never re-feeds or carries compressed bytes
+    (the earlier bytes(unused_data) carry copied the chunk tail a second
+    time per member). One copy per member remains and is zlib's own:
+    decompressobj materializes `unused_data` itself, bounded by the
+    chunk - which is exactly why _INFLATE_CHUNK above is small; do not
+    raise it without re-measuring."""
     view = memoryview(data)
     pos = 0
     d = zlib.decompressobj(47)
@@ -341,13 +345,20 @@ def robots_df_from_warc(spark: SparkSession, path: str,
     - only the LATEST capture per host (by WARC-Date) contributes rules -
       archives carry the full capture history, and a stale Disallow from
       an old capture must not override the current policy (disallow wins
-      ties in apply_robots, so merging histories over-blocks);
+      ties in apply_robots, so merging histories over-blocks). Fetch
+      chains (http->https redirect + final fetch) can share a host AND a
+      second-resolution WARC-Date, so ties break deterministically:
+      prefer the 2xx capture, then the lexicographically larger url -
+      never whichever row a partition happened to read first;
     - HTTP status decides the body's meaning per the robots convention:
       200 -> parse the body; 5xx -> conservative disallow-all (the fetch
       failed, policy unknown); 3xx/4xx -> no rules (allow-all - a missing
-      robots.txt permits crawling). Redirect targets are a separate
-      capture under their own host."""
-    from pyspark.sql import Window
+      robots.txt permits crawling).
+
+    Selection is one max_by aggregation (partial/map-side combine ships
+    at most one capture per host per partition), NOT a window rank -
+    row_number over partitionBy(host) would shuffle every historical
+    capture's full body before discarding all but one."""
     from pyspark.sql import functions as F
 
     from ..functions.urlsql import host_col
@@ -357,14 +368,15 @@ def robots_df_from_warc(spark: SparkSession, path: str,
             .where(F.lower(F.split(F.col("url"), r"[?#]")[0])
                    .endswith("/robots.txt"))
             .select(host_col(F.col("url")).alias("host"),
-                    "warc_ts", "html", "http_status"))
-    latest = (caps
-              .withColumn("_rn", F.row_number().over(
-                  Window.partitionBy("host")
-                  .orderBy(F.col("warc_ts").desc_nulls_last())))
-              .where(F.col("_rn") == 1))
-    body = (F.when(F.col("http_status") >= 500,
-                   F.lit("User-agent: *\nDisallow: /"))
-            .when(F.col("http_status") >= 300, F.lit(""))
-            .otherwise(F.decode("html", "utf-8")))
-    return latest.select("host", body.alias("robots_txt"))
+                    "url", "warc_ts", "html", "http_status"))
+    order_key = F.struct(
+        F.col("warc_ts"),
+        F.col("http_status").between(200, 299).cast("int").alias("ok2xx"),
+        F.col("url"))
+    best = caps.groupBy("host").agg(
+        F.max_by(F.struct("http_status", "html"), order_key).alias("cap"))
+    status = F.col("cap.http_status")
+    body = (F.when(status >= 500, F.lit("User-agent: *\nDisallow: /"))
+            .when(status >= 300, F.lit(""))
+            .otherwise(F.decode(F.col("cap.html"), "utf-8")))
+    return best.select("host", body.alias("robots_txt"))

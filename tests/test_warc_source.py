@@ -265,21 +265,26 @@ def test_robots_from_warc_latest_capture_and_status_semantics(spark, tmp_path):
     new = datetime(2026, 2, 1, tzinfo=timezone.utc)
     recs = [
         # host a: stale full Disallow, then a newer open policy
-        make_warc_record("https://a.ex.com/robots.txt", old,
-                         b"User-agent: *\nDisallow: /\n", None),
-        make_warc_record("https://a.ex.com/robots.txt", new,
-                         b"User-agent: *\nDisallow: /private\n", None),
+        ("https://a.ex.com/robots.txt", old,
+         b"User-agent: *\nDisallow: /\n", None),
+        ("https://a.ex.com/robots.txt", new,
+         b"User-agent: *\nDisallow: /private\n", None),
         # host b: latest capture is a 503 -> conservative disallow-all
-        make_warc_record("https://b.ex.com/robots.txt", new,
-                         b"<html>err</html>", None, status=503),
+        ("https://b.ex.com/robots.txt", new, b"<html>err</html>", None, 503),
         # host c: latest capture is a 301 -> no rules
-        make_warc_record("https://c.ex.com/robots.txt", new,
-                         b"<html>moved</html>", None, status=301),
+        ("https://c.ex.com/robots.txt", new, b"<html>moved</html>", None,
+         301),
+        # host d: redirect + final fetch share host AND WARC-Date (a fetch
+        # chain at second resolution): the 2xx capture must win the tie
+        # deterministically
+        ("http://d.ex.com/robots.txt", new, b"<html>moved</html>", None,
+         301),
+        ("https://d.ex.com/robots.txt", new,
+         b"User-agent: *\nDisallow: /secret\n", None, 200),
     ]
     d = tmp_path / "rw2"
     d.mkdir()
-    (d / "r.warc.gz").write_bytes(
-        b"".join(gzip.compress(r, mtime=0) for r in recs))
+    (d / "r.warc.gz").write_bytes(make_warc_gz(recs))
 
     df = robots_df_from_warc(spark, str(d))
     got = {r["host"]: r["robots_txt"] for r in df.collect()}
@@ -287,6 +292,7 @@ def test_robots_from_warc_latest_capture_and_status_semantics(spark, tmp_path):
     assert "Disallow: /\n" not in got["a.ex.com"]  # stale capture dropped
     assert got["b.ex.com"].strip().endswith("Disallow: /")
     assert got["c.ex.com"] == ""
+    assert "Disallow: /secret" in got["d.ex.com"]  # 2xx wins the date tie
 
     rules = robots_rules_from_df(df).collect()
     by_host = {}
@@ -334,3 +340,16 @@ def test_cli_pages_warc_resume_reuses_completed_staging(spark, tmp_path,
     assert main(args + ["--resume"]) == 0
     out3 = capsys.readouterr().out
     assert "Parsed WARC archives" in out3
+
+    # resume pointed at a DIFFERENT archive dir: warn + re-stage (must not
+    # silently crawl the stale staged corpus)
+    import shutil
+
+    warc_dir2 = str(tmp_path / "pages2")
+    shutil.copytree(warc_dir, warc_dir2)
+    args2 = ["-c", "https://host0.example.com/p/0", "--pages-warc",
+             warc_dir2, "--workdir", wd, "--resume"]
+    assert main(args2) == 0
+    out4 = capsys.readouterr().out
+    assert "re-staging from" in out4
+    assert "Parsed WARC archives" in out4
