@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="after the crawl, loop a query prompt over the "
                          "warm index (the reference's interactive mode, "
                          "main.c:172-184); EOF or 'exit' quits")
+    ap.add_argument("--export-warc", metavar="DIR",
+                    help="after the crawl, export the fetched pages "
+                         "(url, warc_ts, html, lang) as Common-Crawl-"
+                         "layout .warc.gz archives under DIR - the "
+                         "interchange inverse of --pages-warc")
     ap.add_argument("--save-baseline", metavar="CSV",
                     help="save this run's phase timings as the baseline "
                          "metrics CSV (benchmark.c save_as_baseline)")
@@ -271,6 +276,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     print(f"Crawl checkpoints: {workdir} "
           f"(rounds={state.round}, wall={wall:.2f}s, "
           f"stop={state.stopped or 'frontier_empty'})")
+
+    if args.export_warc:
+        # re-emit the FETCHED subset as Common-Crawl-layout archives: the
+        # round snapshots store extracted text, so the original html bytes
+        # come from an id-only join back against the source pages table
+        from .sources.warc import write_warc_gz
+
+        crawled = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
+                   .select("url").distinct())
+        subset = pages.join(crawled, "url") \
+            .select("url", "warc_ts", "html", "lang")
+        nf = write_warc_gz(subset, args.export_warc)
+        print(f"Exported {state.pages_crawled} pages as {nf} .warc.gz "
+              f"file(s) to {args.export_warc}")
 
     phase_ms = {"CrawlingTime_ms": wall * 1000}
     last_query_ms = 0.0

