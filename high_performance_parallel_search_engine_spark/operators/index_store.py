@@ -1,0 +1,122 @@
+"""Term-bucketed persistent postings store.
+
+The reference rebuilds its whole in-memory index per run (Serial
+Version/src/index.c:69-114) and its query path linearly scans that full
+array per term (Serial Version/src/ranking.c:54-70); persistence is a flat
+per-process array, so "don't read the whole index per query" never arises
+there. At 100 TB the postings TABLE is the index artifact, and a query must
+not touch all of it. Storing it bucketed by term gives two structural wins,
+both plan-verified in tests/test_index_store.py:
+
+- point/IN lookups on term - which every BM25 query performs once
+  rank_bm25 pushes its candidate terms into the scan
+  (ranking._pushdown_candidate_terms) - read ONLY the buckets the terms
+  hash to: the scan shows `SelectedBucketsCount: k out of B`, so a 3-term
+  query against a 1024-bucket index reads <= 3 buckets (~0.3% of the
+  files), with parquet min/max + dictionary pushdown still pruning inside
+  each bucket file. A broadcast join alone prunes NOTHING at the scan
+  (measured: 16/16 buckets without the In filter, 2/16 with it).
+- term-keyed aggregations and joins (term_df, posting-list merges) are
+  exchange-free: bucketing satisfies the hash-distribution requirement, so
+  the full-index shuffle disappears from every vocabulary-statistics job.
+
+Registration is plain DDL over an external LOCATION: any later session -
+including a metastore-backed real cluster - re-attaches the same files with
+`register_postings_store`. A `_bucketed_store.json` sidecar inside the
+table directory records the bucket spec (Spark ignores underscore-prefixed
+files when listing data files), making the directory self-describing and
+relocatable.
+
+Why `autoBucketedScan=false` is pinned at save/register time: Spark's
+planner silently downgrades a bucketed scan to a plain file-split scan
+whenever the plan does not NEED the hash distribution - and that downgrade
+also discards bucket PRUNING, so a filter-only query would read every
+bucket again ("Bucketed: false (disabled by query planner)"). The store
+exists precisely for pruned reads, so bucketed scans stay on for the
+session. Cost: a full pass over a bucketed table schedules one task per
+bucket file instead of per split - irrelevant here because full-table
+passes (term_df etc.) are exactly the term-keyed aggregations that want
+the bucketed distribution anyway, and B is sized to the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lineage import explain_text
+
+DEFAULT_BUCKETS = 64
+MANIFEST_NAME = "_bucketed_store.json"
+# canonical stored schema (build_postings output, types pinned for the DDL)
+POSTINGS_COLS_DDL = "term STRING, doc_id BIGINT, tf BIGINT"
+
+
+def _pin_bucketed_scan(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+
+
+def save_postings_bucketed(postings: DataFrame, path: str,
+                           table: str = "postings_store",
+                           buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Write postings as an external term-bucketed table at `path` and
+    return the registered table. Bucket count is a layout decision made
+    once at save time: size B so one bucket's posting lists fit an executor
+    task comfortably (100 TB / B <= a few hundred MB compressed => B in the
+    tens of thousands on a real cluster; 64 default suits local tests)."""
+    spark = postings.sparkSession
+    _pin_bucketed_scan(spark)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    canonical = postings.select(
+        F.col("term").cast("string").alias("term"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tf").cast("bigint").alias("tf"),
+    )
+    (canonical.write.format("parquet")
+        .bucketBy(buckets, "term").sortBy("term")
+        .option("path", os.path.abspath(path))
+        .mode("overwrite")
+        .saveAsTable(table))
+    manifest = {"table": table, "buckets": buckets, "bucket_col": "term",
+                "sort_col": "term", "schema_ddl": POSTINGS_COLS_DDL}
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return spark.table(table)
+
+
+def register_postings_store(spark: SparkSession, path: str,
+                            table: str | None = None) -> DataFrame:
+    """Re-attach an existing bucketed store directory in THIS session (new
+    session, new cluster, or after a catalog wipe): reads the sidecar and
+    issues the CLUSTERED BY DDL over the external LOCATION. Idempotent -
+    an already-registered table is returned as-is."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        meta = json.load(f)
+    table = table or meta["table"]
+    _pin_bucketed_scan(spark)
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({meta['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({meta['bucket_col']}) "
+            f"SORTED BY ({meta['sort_col']}) "
+            f"INTO {meta['buckets']} BUCKETS "
+            f"LOCATION '{os.path.abspath(path)}'")
+    return spark.table(table)
+
+
+def selected_buckets(df: DataFrame) -> tuple[int, int] | None:
+    """(selected, total) bucket counts from df's physical plan, or None if
+    no bucket pruning applies. Static plan property - no execution needed.
+    The evidence hook for 'this query reads k of B buckets'."""
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                  explain_text(df, "formatted"))
+    if m is None:
+        return None
+    return int(m.group(1)), int(m.group(2))

@@ -114,6 +114,30 @@ def bm25_score_col(tf, dl, avg_dl, idf, k1: float = BM25_K1, b: float = BM25_B):
     return idf * ((tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avg_dl)))
 
 
+# Candidate-term scan pushdown: every query's candidate terms (including the
+# fallback retry forms) are known driver-side BEFORE the plan is built, so
+# an explicit `term IN (...)` filter goes into the postings scan. It is a
+# semantic no-op - the broadcast-join keys are exactly a subset of the
+# filter values - but the JOIN alone prunes NOTHING at the scan: measured on
+# a 16-bucket store, postings x broadcast(2 terms) reads 16/16 buckets
+# without this filter and 2/16 with it, and on plain parquet the filter
+# reaches PushedFilters (row-group stats + dictionary pages). At 100 TB this
+# is the difference between a full index pass and reading the few buckets a
+# query hashes to (operators/index_store.py). The cap mirrors
+# crawl.URL_PUSHDOWN_MAX: parquet-mr lowers a huge In to a left-deep Or tree
+# that can overflow the task stack; real queries are a handful of terms, so
+# the cap is headroom, and past it the filter is skipped (join-only pruning,
+# still correct).
+TERM_PUSHDOWN_MAX = 512
+
+
+def _pushdown_candidate_terms(postings: DataFrame, terms) -> DataFrame:
+    vals = sorted({t for t in terms if t})
+    if 0 < len(vals) <= TERM_PUSHDOWN_MAX:
+        return postings.where(F.col("term").isin(vals))
+    return postings
+
+
 def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
               total_docs: int | None = None, top_k: int = 10,
               stopwords=DEFAULT_STOPWORDS, fallback: bool = False,
@@ -182,6 +206,8 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
         if not rows:
             return spark.createDataFrame([], "doc_id long, score double")
         sel = spark.createDataFrame(rows, "qpos int, term string, df long")
+        postings = _pushdown_candidate_terms(postings,
+                                             [r[1] for r in rows])
         return _score_candidates(postings, doc_stats, sel, total_docs,
                                  avg_dl, top_k)
 
@@ -194,6 +220,9 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
             if a is not None:
                 cands.append((i, a, 1))
     cdf = spark.createDataFrame(cands, "qpos int, term string, pref int")
+    # both the cold df aggregation and the scoring join scan postings:
+    # push the full candidate set (primary + retry forms) into the scan
+    postings = _pushdown_candidate_terms(postings, [c[1] for c in cands])
 
     if df_table is not None:
         # Warm path: candidate dfs come from the cached (term, df) table -
@@ -313,6 +342,8 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
             return empty
         df_tbl = spark.createDataFrame(
             rows, "query_id int, qpos int, term string, df long")
+        postings = _pushdown_candidate_terms(postings,
+                                             [r[2] for r in rows])
         return _score_candidates_batch(postings, doc_stats, df_tbl,
                                        total_docs, avg_dl, top_k)
     # candidate table with preference: pref 0 = the term itself, pref 1 =
@@ -325,6 +356,7 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
                 prefd.append((qid, i, a, 1))
     cdf = spark.createDataFrame(
         prefd, "query_id int, qpos int, term string, pref int")
+    postings = _pushdown_candidate_terms(postings, [c[2] for c in prefd])
 
     if df_table is not None:
         # warm-index batch path: same trade as rank_bm25's df_table - a
