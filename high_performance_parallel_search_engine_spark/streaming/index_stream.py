@@ -1,0 +1,141 @@
+"""Streaming index maintenance: fold arriving document snapshots into the
+persistent postings index incrementally.
+
+The reference rebuilds its entire index after every crawl
+(Serial Version/src/main.c:165 -> build_index over the whole dataset dir);
+at 10^10 documents a full re-tokenize per crawl round is the one cost that
+can never be paid. This module is the continuous form of
+operators.index.merge_postings (the O(delta) incremental merge, gate
+`postings_incremental`): crawl round snapshots land as files, Structured
+Streaming delivers them as micro-batches, and each batch folds into a new
+index VERSION - only the delta crosses the tokenizer.
+
+Exactly-once effect from at-least-once machinery: foreachBatch may replay a
+batch after a failure, so the sink keeps a batch log inside the index
+manifest - a replayed batch_id is a no-op (checked before any write). The
+manifest swap is atomic (tmp + os.replace), so a reader either sees the old
+complete version or the new complete version, never a partial one; versions
+are immutable directories, and retention keeps the last `keep_versions` so
+an in-flight reader of the previous version survives one swap.
+
+Ordering contract: the file source delivers files in arrival order, so a
+document re-crawled in a LATER snapshot file lands in the same or a later
+micro-batch and REPLACES its old postings (merge_postings semantics). Inside
+one batch the latest (warc_ts, text) struct wins - a deterministic
+lexicographic max, so a replayed batch folds identically.
+
+On a real cluster the same code runs with a continuous trigger over an
+object-store landing prefix; the local tests use trigger(availableNow) for
+bounded runs. The written version directories are plain parquet - feed one
+to operators.index_store.save_postings_bucketed to publish a term-bucketed
+queryable snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index import merge_postings
+
+DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
+POSTINGS_SCHEMA = "term string, doc_id long, tf long"
+MANIFEST_NAME = "manifest.json"
+
+
+def read_docs_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    return (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def latest_doc_versions(batch_df: DataFrame) -> DataFrame:
+    """One row per doc_id: the lexicographic max of (warc_ts, text) -
+    deterministic even on warc_ts ties, so replays fold identically."""
+    return (batch_df
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("warc_ts", "text")).alias("v"))
+            .select("doc_id", F.col("v.text").alias("text")))
+
+
+def _manifest_path(index_root: str) -> str:
+    return os.path.join(index_root, MANIFEST_NAME)
+
+
+def read_manifest(index_root: str) -> dict:
+    p = _manifest_path(index_root)
+    if not os.path.exists(p):
+        return {"version": 0, "applied_batches": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(index_root: str, man: dict) -> None:
+    os.makedirs(index_root, exist_ok=True)
+    tmp = _manifest_path(index_root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, _manifest_path(index_root))
+
+
+def _version_dir(index_root: str, version: int) -> str:
+    return os.path.join(index_root, f"v{version:06d}")
+
+
+def read_current_postings(spark: SparkSession,
+                          index_root: str) -> tuple[DataFrame, int]:
+    """(postings, version) of the current index; (empty, 0) before any
+    batch has been applied."""
+    man = read_manifest(index_root)
+    if man["version"] == 0:
+        return spark.createDataFrame([], POSTINGS_SCHEMA), 0
+    return (spark.read.parquet(_version_dir(index_root, man["version"])),
+            man["version"])
+
+
+def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
+                      keep_versions: int = 2) -> int:
+    """foreachBatch body: fold one micro-batch of documents into a new
+    index version. Idempotent on batch_id (replay-safe). Returns the
+    current version after the call. Single-writer by contract (one
+    maintenance stream per index_root - same as any streaming sink)."""
+    spark = batch_df.sparkSession
+    man = read_manifest(index_root)
+    if batch_id in man["applied_batches"]:
+        return man["version"]  # replayed batch after a failure: no-op
+    delta = latest_doc_versions(batch_df)
+    old, version = read_current_postings(spark, index_root)
+    # canonical column order: merge_postings' doc_id anti-join reorders
+    merged = merge_postings(old, delta).select("term", "doc_id", "tf")
+    new_version = version + 1
+    merged.write.mode("overwrite").parquet(
+        _version_dir(index_root, new_version))
+    man = {"version": new_version,
+           "applied_batches": man["applied_batches"] + [batch_id]}
+    _write_manifest(index_root, man)
+    # retention AFTER the swap: keep the last keep_versions immutable dirs
+    for v in range(1, new_version - max(keep_versions, 1) + 1):
+        shutil.rmtree(_version_dir(index_root, v), ignore_errors=True)
+    return new_version
+
+
+def maintain_index_stream(spark: SparkSession, docs_path: str,
+                          index_root: str, checkpoint: str,
+                          max_files_per_trigger: int = 4,
+                          keep_versions: int = 2):
+    """Start the maintenance stream: docs snapshots at docs_path ->
+    versioned postings under index_root. availableNow drains what exists
+    and stops (the bounded/test form); swap the trigger for a continuous
+    deployment."""
+    stream = read_docs_stream(spark, docs_path, max_files_per_trigger)
+    return (stream.writeStream
+            .foreachBatch(lambda df, bid: apply_index_delta(
+                index_root, df, bid, keep_versions=keep_versions))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,122 @@
+"""Streaming incremental index maintenance (streaming/index_stream.py).
+
+Invariants:
+- draining N snapshot files yields postings identical to a full rebuild
+  over the latest version of every document (merge == rebuild, the
+  streaming form of the postings_incremental gate),
+- a re-crawled doc in a later snapshot REPLACES its old postings,
+- restarting the stream on the same checkpoint with no new files applies
+  nothing; new files fold in incrementally,
+- a replayed batch_id is a no-op (exactly-once effect over foreachBatch's
+  at-least-once replay),
+- retention keeps only the last keep_versions immutable version dirs.
+"""
+
+import os
+from datetime import datetime
+
+from high_performance_parallel_search_engine_spark.operators.index import build_postings
+from high_performance_parallel_search_engine_spark.streaming.index_stream import (
+    apply_index_delta, maintain_index_stream, read_current_postings,
+    read_manifest)
+
+TS0 = datetime(2026, 1, 1, 0, 0, 0)
+TS1 = datetime(2026, 1, 2, 0, 0, 0)
+TS2 = datetime(2026, 1, 3, 0, 0, 0)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, warc_ts timestamp")
+
+
+def _snap(spark, docs_dir, name, rows):
+    _docs(spark, rows).coalesce(1).write.mode("append").parquet(
+        os.path.join(docs_dir, name))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _drain(spark, docs_dir, index_root, ckpt):
+    q = maintain_index_stream(spark, docs_dir + "/*", index_root, ckpt,
+                              max_files_per_trigger=1)
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_merge_equals_full_rebuild_with_replacement(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    index_root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    _snap(spark, docs_dir, "snap0", [
+        (1, "alpha bravo alpha", TS0),
+        (2, "charlie delta", TS0),
+    ])
+    _snap(spark, docs_dir, "snap1", [
+        (3, "echo foxtrot echo echo", TS1),
+        (2, "charlie REVISED golf", TS1),   # re-crawl: must replace
+    ])
+    _drain(spark, docs_dir, index_root, ckpt)
+
+    postings, version = read_current_postings(spark, index_root)
+    latest = _docs(spark, [
+        (1, "alpha bravo alpha", TS0),
+        (2, "charlie REVISED golf", TS1),
+        (3, "echo foxtrot echo echo", TS1),
+    ])
+    assert _rows(postings) == _rows(build_postings(latest))
+    assert version >= 2  # one version per non-empty micro-batch
+    man = read_manifest(index_root)
+    assert len(man["applied_batches"]) == version
+
+    # restart on the same checkpoint with no new files: nothing applied
+    _drain(spark, docs_dir, index_root, ckpt)
+    assert read_manifest(index_root)["version"] == version
+
+    # a new snapshot folds in incrementally after the restart
+    _snap(spark, docs_dir, "snap2", [(4, "hotel india", TS2)])
+    _drain(spark, docs_dir, index_root, ckpt)
+    postings2, version2 = read_current_postings(spark, index_root)
+    assert version2 == version + 1
+    latest2 = latest.unionByName(_docs(spark, [(4, "hotel india", TS2)]))
+    assert _rows(postings2) == _rows(build_postings(latest2))
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    index_root = str(tmp_path / "index")
+    b0 = _docs(spark, [(1, "alpha bravo", TS0)])
+    v1 = apply_index_delta(index_root, b0, batch_id=0)
+    assert v1 == 1
+    before = _rows(read_current_postings(spark, index_root)[0])
+    # at-least-once replay of the SAME batch id: no new version, no change
+    assert apply_index_delta(index_root, b0, batch_id=0) == 1
+    assert _rows(read_current_postings(spark, index_root)[0]) == before
+
+
+def test_within_batch_latest_version_wins_deterministically(spark, tmp_path):
+    index_root = str(tmp_path / "index")
+    b = _docs(spark, [
+        (1, "old text", TS0),
+        (1, "new text", TS1),   # later warc_ts wins inside one batch
+    ])
+    apply_index_delta(index_root, b, batch_id=0)
+    postings, _ = read_current_postings(spark, index_root)
+    assert _rows(postings) == _rows(
+        build_postings(_docs(spark, [(1, "new text", TS1)])))
+
+
+def test_retention_keeps_last_versions(spark, tmp_path):
+    index_root = str(tmp_path / "index")
+    for i in range(4):
+        apply_index_delta(
+            index_root, _docs(spark, [(i, f"term{i}", TS0)]), batch_id=i,
+            keep_versions=2)
+    assert read_manifest(index_root)["version"] == 4
+    kept = sorted(d for d in os.listdir(index_root) if d.startswith("v"))
+    assert kept == ["v000003", "v000004"]
+    # current index still holds ALL four docs (versions are cumulative)
+    postings, _ = read_current_postings(spark, index_root)
+    assert postings.select("doc_id").distinct().count() == 4
