@@ -63,7 +63,8 @@ def _pin_bucketed_scan(spark: SparkSession) -> None:
 
 def save_postings_bucketed(postings: DataFrame, path: str,
                            table: str = "postings_store",
-                           buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                           buckets: int = DEFAULT_BUCKETS,
+                           extra_meta: dict | None = None) -> DataFrame:
     """Write postings as an external term-bucketed table at `path` and
     return the registered table. Bucket count is a layout decision made
     once at save time: size B so one bucket's posting lists fit an executor
@@ -83,7 +84,8 @@ def save_postings_bucketed(postings: DataFrame, path: str,
         .mode("overwrite")
         .saveAsTable(table))
     manifest = {"table": table, "buckets": buckets, "bucket_col": "term",
-                "sort_col": "term", "schema_ddl": POSTINGS_COLS_DDL}
+                "sort_col": "term", "schema_ddl": POSTINGS_COLS_DDL,
+                **(extra_meta or {})}
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

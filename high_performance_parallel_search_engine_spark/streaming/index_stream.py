@@ -41,10 +41,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.index import merge_postings
+from ..operators.index_store import (DEFAULT_BUCKETS, MANIFEST_NAME as
+                                     STORE_MANIFEST_NAME,
+                                     register_postings_store,
+                                     save_postings_bucketed)
 
 DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
 POSTINGS_SCHEMA = "term string, doc_id long, tf long"
 MANIFEST_NAME = "manifest.json"
+# underscore prefix => Spark's file listing skips it when scanning the
+# bucketed table's LOCATION, so doc stats live INSIDE the store directory
+# without polluting the postings scan
+DOC_STATS_DIR = "_doc_stats"
 
 
 def read_docs_stream(spark: SparkSession, path: str,
@@ -122,6 +130,56 @@ def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
     for v in range(1, new_version - max(keep_versions, 1) + 1):
         shutil.rmtree(_version_dir(index_root, v), ignore_errors=True)
     return new_version
+
+
+def publish_current_index(spark: SparkSession, index_root: str,
+                          store_path: str, table: str = "postings_store",
+                          buckets: int = DEFAULT_BUCKETS
+                          ) -> tuple[DataFrame, int]:
+    """Publish the CURRENT streaming index version as a self-contained
+    queryable snapshot: the postings become a term-bucketed store
+    (operators.index_store - BM25 queries then read only the buckets their
+    candidate terms hash to) and the BM25 doc stats (dl = sum(tf) per doc,
+    exactly build_doc_stats' value) are derived in one slim pass and
+    written inside the store directory. The store sidecar records which
+    index version it was published from, so `store_is_stale` can compare
+    against the live manifest without touching data files. Returns
+    (store table, published version)."""
+    postings, version = read_current_postings(spark, index_root)
+    if version == 0:
+        raise ValueError(f"no index version to publish under {index_root}")
+    tbl = save_postings_bucketed(postings, store_path, table=table,
+                                 buckets=buckets,
+                                 extra_meta={"index_version": version})
+    stats = tbl.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats.write.mode("overwrite").parquet(
+        os.path.join(store_path, DOC_STATS_DIR))
+    return tbl, version
+
+
+def open_published_index(spark: SparkSession, store_path: str,
+                         table: str | None = None
+                         ) -> tuple[DataFrame, DataFrame, int]:
+    """Query-side entry: (postings store table, doc_stats, version) from a
+    published store directory - a fresh session/catalog re-attaches via
+    the sidecar DDL, ready for rank_bm25(tbl, stats, query)."""
+    tbl = register_postings_store(spark, store_path, table=table)
+    stats = spark.read.parquet(os.path.join(store_path, DOC_STATS_DIR))
+    return tbl, stats, published_index_version(store_path)
+
+
+def published_index_version(store_path: str) -> int:
+    """The index version a store was published from (0 if the sidecar
+    predates version tracking)."""
+    with open(os.path.join(store_path, STORE_MANIFEST_NAME)) as f:
+        return json.load(f).get("index_version", 0)
+
+
+def store_is_stale(index_root: str, store_path: str) -> bool:
+    """True when the live streaming index has advanced past the published
+    snapshot - the republish trigger for a serving tier."""
+    return read_manifest(index_root)["version"] > \
+        published_index_version(store_path)
 
 
 def maintain_index_stream(spark: SparkSession, docs_path: str,

@@ -15,10 +15,17 @@ Invariants:
 import os
 from datetime import datetime
 
-from high_performance_parallel_search_engine_spark.operators.index import build_postings
+import pytest
+
+from high_performance_parallel_search_engine_spark.operators.index import (
+    build_index_tables, build_postings)
+from high_performance_parallel_search_engine_spark.operators.index_store import (
+    selected_buckets)
+from high_performance_parallel_search_engine_spark.operators.ranking import rank_bm25
 from high_performance_parallel_search_engine_spark.streaming.index_stream import (
-    apply_index_delta, maintain_index_stream, read_current_postings,
-    read_manifest)
+    apply_index_delta, maintain_index_stream, open_published_index,
+    publish_current_index, published_index_version, read_current_postings,
+    read_manifest, store_is_stale)
 
 TS0 = datetime(2026, 1, 1, 0, 0, 0)
 TS1 = datetime(2026, 1, 2, 0, 0, 0)
@@ -106,6 +113,58 @@ def test_within_batch_latest_version_wins_deterministically(spark, tmp_path):
     postings, _ = read_current_postings(spark, index_root)
     assert _rows(postings) == _rows(
         build_postings(_docs(spark, [(1, "new text", TS1)])))
+
+
+def test_publish_serves_bm25_from_fresh_catalog_with_pruning(spark,
+                                                             tmp_path):
+    """The full serving chain: snapshots -> maintenance stream -> publish
+    as a term-bucketed store -> a wiped catalog re-attaches it -> BM25 over
+    (store, published doc_stats) is bit-identical to a full rebuild over
+    the latest docs, and the query scan reads only the candidate-term
+    buckets. Plus the staleness contract that drives republishing."""
+    docs_dir = str(tmp_path / "docs")
+    index_root = str(tmp_path / "index")
+    store_path = str(tmp_path / "store")
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rows0 = [(i, " ".join(words[(i + k * k) % len(words)]
+                          for k in range(8)), TS0) for i in range(20)]
+    rows1 = [(i, " ".join(words[(i + k) % len(words)]
+                          for k in range(8)), TS1) for i in range(15, 30)]
+    _snap(spark, docs_dir, "snap0", rows0)
+    _snap(spark, docs_dir, "snap1", rows1)   # docs 15-19 re-crawled
+    _drain(spark, docs_dir, index_root, str(tmp_path / "ckpt"))
+
+    with pytest.raises(ValueError):
+        publish_current_index(spark, str(tmp_path / "empty"), store_path)
+
+    tbl, ver = publish_current_index(spark, index_root, store_path,
+                                     table="t_pub_store", buckets=16)
+    assert ver == read_manifest(index_root)["version"]
+    assert published_index_version(store_path) == ver
+    assert not store_is_stale(index_root, store_path)
+
+    # a wiped catalog re-attaches the published directory
+    spark.sql("DROP TABLE t_pub_store")
+    store, stats, ver2 = open_published_index(spark, store_path)
+    assert ver2 == ver
+
+    latest = _docs(spark, dict((r[0], r) for r in rows0 + rows1).values())
+    ref_postings, ref_stats = build_index_tables(latest)
+    assert _rows(stats) == _rows(ref_stats)
+    got = rank_bm25(store, stats, "alpha echo lima", top_k=10)
+    want = rank_bm25(ref_postings, ref_stats, "alpha echo lima", top_k=10)
+    assert _rows(got) == _rows(want)
+    sel = selected_buckets(got)
+    assert sel is not None and sel[0] < sel[1] == 16
+
+    # a new snapshot advances the live index past the published store
+    _snap(spark, docs_dir, "snap2", [(99, "mike november", TS2)])
+    _drain(spark, docs_dir, index_root, str(tmp_path / "ckpt"))
+    assert store_is_stale(index_root, store_path)
+    _, ver3 = publish_current_index(spark, index_root, store_path,
+                                    table="t_pub_store", buckets=16)
+    assert ver3 == ver + 1 and not store_is_stale(index_root, store_path)
 
 
 def test_retention_keeps_last_versions(spark, tmp_path):
