@@ -98,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(url, warc_ts, html, lang) as Common-Crawl-"
                          "layout .warc.gz archives under DIR - the "
                          "interchange inverse of --pages-warc")
+    ap.add_argument("--publish-index", metavar="DIR",
+                    help="after the crawl, publish the index as a term-"
+                         "bucketed serving store at DIR (postings + doc "
+                         "stats + url map; queries against it read only "
+                         "the buckets their terms hash to)")
+    ap.add_argument("--index-store", metavar="DIR",
+                    help="serve-only mode: answer -q / -i from a store "
+                         "published with --publish-index, without "
+                         "crawling (cannot be combined with -c/-m)")
     ap.add_argument("--save-baseline", metavar="CSV",
                     help="save this run's phase timings as the baseline "
                          "metrics CSV (benchmark.c save_as_baseline)")
@@ -141,11 +150,79 @@ def _clamped_limits(args) -> tuple[int, int]:
     return depth, pages
 
 
+def _serve_from_store(args, spark=None) -> int:
+    """Serve-only mode: -q / -i answered straight from a published
+    term-bucketed store directory (no crawl, no source corpus). The BM25
+    plan is the store's whole point: candidate terms prune the scan to
+    their buckets, df comes from the exchange-free (term, df) table."""
+    from pyspark.sql import functions as F
+
+    from .operators.index import term_df
+    from .operators.index_store import open_store
+    from .operators.ranking import interactive_query_conf, rank_bm25
+    from .session import build_session
+
+    if spark is None:
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = build_session("hppse-cli", master=master,
+                              shuffle_partitions=args.threads)
+    tbl, stats, doc_map = open_store(spark, args.index_store,
+                                     table="cli_postings_store")
+    total = stats.count()
+    avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
+              if total else 0.0)
+    dfs = term_df(tbl).cache()
+    dfs.count()
+    print(f"Serving published index from {args.index_store}: "
+          f"{total} documents.")
+
+    def run_query(q: str) -> None:
+        t0 = time.perf_counter()
+        with interactive_query_conf(spark):
+            top = rank_bm25(tbl, stats, q, total_docs=total, avg_dl=avg_dl,
+                            top_k=10, fallback=True, df_table=dfs).collect()
+        ms = (time.perf_counter() - t0) * 1000
+        urls = {}
+        if doc_map is not None and top:
+            urls = {r["doc_id"]: r["url"] for r in
+                    doc_map.where(F.col("doc_id").isin(
+                        [r["doc_id"] for r in top])).collect()}
+        print(f"Query processed in {ms:.2f} ms")
+        for rank, r in enumerate(top, 1):
+            print(f"{rank:2d}. doc {r['doc_id']} score={r['score']:.4f} "
+                  f"{urls.get(r['doc_id'], '')}")
+        if not top:
+            print("No results.")
+
+    if args.query:
+        print(f"\nSearching for: {args.query}")
+        run_query(args.query)
+    if args.interactive:
+        print("Search engine ready for queries.")
+        while True:
+            try:
+                q = input("Enter your search query: ").strip()
+            except EOFError:
+                break
+            if not q or q.lower() in ("exit", "quit"):
+                break
+            print(f"\nSearching for: {q}")
+            run_query(q)
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     """`spark=None` builds a local session; pass an existing session to run
     under spark-submit (tools/submit_crawl.py does this so the cluster
     master/conf from spark-submit is inherited, not overridden)."""
     args = build_parser().parse_args(argv)
+    if args.index_store:
+        if args.crawl or args.medium:
+            print("Error: --index-store is serve-only; it cannot be "
+                  "combined with -c/-m (publish at crawl time with "
+                  "--publish-index)")
+            return 2
+        return _serve_from_store(args, spark)
     if not (args.crawl or args.medium):
         build_parser().print_help()
         return 0
@@ -293,7 +370,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     phase_ms = {"CrawlingTime_ms": wall * 1000}
     last_query_ms = 0.0
-    if args.query or args.interactive or args.save_baseline:
+    if (args.query or args.interactive or args.save_baseline
+            or args.publish_index):
         docs = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
         from .operators.index import term_df, term_df_map
@@ -325,6 +403,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 total_docs=total, avg_dl=avg_dl, n_postings=n_postings)
         phase_ms["IndexingTime_ms"] = (time.perf_counter() - t1) * 1000
         print(f"Indexed {total} documents.")
+
+        if args.publish_index:
+            # a CLI crawl is clamped to <=100 pages, so 16 buckets keeps
+            # bucket files non-trivial; a production publish sizes B to
+            # the cluster (index_store.save_postings_bucketed docstring)
+            from .operators.index_store import publish_store
+
+            publish_store(postings, args.publish_index,
+                          table="cli_postings_store", buckets=16,
+                          doc_map=docs.select("doc_id", "url"))
+            print(f"Published bucketed index store to {args.publish_index}")
 
         def run_query(q: str) -> float:
             from .operators.ranking import interactive_query_conf

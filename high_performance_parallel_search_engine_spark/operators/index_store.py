@@ -54,6 +54,11 @@ DEFAULT_BUCKETS = 64
 MANIFEST_NAME = "_bucketed_store.json"
 # canonical stored schema (build_postings output, types pinned for the DDL)
 POSTINGS_COLS_DDL = "term STRING, doc_id BIGINT, tf BIGINT"
+# underscore prefix => Spark's file listing skips these when scanning the
+# bucketed table's LOCATION, so serving sidecars live INSIDE the store
+# directory without polluting the postings scan
+DOC_STATS_DIR = "_doc_stats"
+DOC_MAP_DIR = "_doc_map"
 
 
 def _pin_bucketed_scan(spark: SparkSession) -> None:
@@ -111,6 +116,39 @@ def register_postings_store(spark: SparkSession, path: str,
             f"INTO {meta['buckets']} BUCKETS "
             f"LOCATION '{os.path.abspath(path)}'")
     return spark.table(table)
+
+
+def publish_store(postings: DataFrame, path: str,
+                  table: str = "postings_store",
+                  buckets: int = DEFAULT_BUCKETS,
+                  doc_map: DataFrame | None = None,
+                  extra_meta: dict | None = None) -> DataFrame:
+    """One self-contained serving artifact: the term-bucketed postings
+    table plus everything a BM25 server needs beside it - `_doc_stats`
+    (dl = sum(tf) per doc, exactly build_doc_stats' value, derived in one
+    slim pass over the just-written store) and optionally `_doc_map`
+    (doc_id, url) so results resolve to urls without the source corpus.
+    Returns the registered store table."""
+    tbl = save_postings_bucketed(postings, path, table=table,
+                                 buckets=buckets, extra_meta=extra_meta)
+    stats = tbl.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats.write.mode("overwrite").parquet(os.path.join(path, DOC_STATS_DIR))
+    if doc_map is not None:
+        doc_map.select("doc_id", "url").write.mode("overwrite").parquet(
+            os.path.join(path, DOC_MAP_DIR))
+    return tbl
+
+
+def open_store(spark: SparkSession, path: str, table: str | None = None
+               ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Query-side entry for a published store directory: (postings table,
+    doc_stats, doc_map or None) - a fresh session/catalog re-attaches via
+    the sidecar DDL, ready for rank_bm25(tbl, stats, query)."""
+    tbl = register_postings_store(spark, path, table=table)
+    stats = spark.read.parquet(os.path.join(path, DOC_STATS_DIR))
+    map_dir = os.path.join(path, DOC_MAP_DIR)
+    doc_map = spark.read.parquet(map_dir) if os.path.isdir(map_dir) else None
+    return tbl, stats, doc_map
 
 
 def selected_buckets(df: DataFrame) -> tuple[int, int] | None:

@@ -41,18 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.index import merge_postings
-from ..operators.index_store import (DEFAULT_BUCKETS, MANIFEST_NAME as
-                                     STORE_MANIFEST_NAME,
-                                     register_postings_store,
-                                     save_postings_bucketed)
+from ..operators.index_store import (DEFAULT_BUCKETS, DOC_STATS_DIR,  # noqa: F401 (re-export)
+                                     MANIFEST_NAME as STORE_MANIFEST_NAME,
+                                     open_store, publish_store)
 
 DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
 POSTINGS_SCHEMA = "term string, doc_id long, tf long"
 MANIFEST_NAME = "manifest.json"
-# underscore prefix => Spark's file listing skips it when scanning the
-# bucketed table's LOCATION, so doc stats live INSIDE the store directory
-# without polluting the postings scan
-DOC_STATS_DIR = "_doc_stats"
 
 
 def read_docs_stream(spark: SparkSession, path: str,
@@ -148,12 +143,8 @@ def publish_current_index(spark: SparkSession, index_root: str,
     postings, version = read_current_postings(spark, index_root)
     if version == 0:
         raise ValueError(f"no index version to publish under {index_root}")
-    tbl = save_postings_bucketed(postings, store_path, table=table,
-                                 buckets=buckets,
-                                 extra_meta={"index_version": version})
-    stats = tbl.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats.write.mode("overwrite").parquet(
-        os.path.join(store_path, DOC_STATS_DIR))
+    tbl = publish_store(postings, store_path, table=table, buckets=buckets,
+                        extra_meta={"index_version": version})
     return tbl, version
 
 
@@ -163,8 +154,7 @@ def open_published_index(spark: SparkSession, store_path: str,
     """Query-side entry: (postings store table, doc_stats, version) from a
     published store directory - a fresh session/catalog re-attaches via
     the sidecar DDL, ready for rank_bm25(tbl, stats, query)."""
-    tbl = register_postings_store(spark, store_path, table=table)
-    stats = spark.read.parquet(os.path.join(store_path, DOC_STATS_DIR))
+    tbl, stats, _ = open_store(spark, store_path, table=table)
     return tbl, stats, published_index_version(store_path)
 
 

@@ -181,3 +181,36 @@ def test_cli_pages_warc(spark, tmp_path, capsys):
     assert "Parsed WARC archives" in out
     assert "Successfully crawled" in out
     assert "Query processed in" in out
+
+
+def test_cli_publish_index_then_serve_only(spark, tmp_path, capsys):
+    """--publish-index emits a self-contained serving store at crawl time;
+    a later --index-store run answers the same query WITHOUT the crawl or
+    the source corpus, resolving urls from the store's own _doc_map, with
+    identical ranked results."""
+    store = str(tmp_path / "store")
+    rc = main(["-c", "https://host0.example.com/p/0", "-d", "3", "-p", "25",
+               "-q", "crawl indexes bm25", "--workdir", str(tmp_path / "w"),
+               "--publish-index", store])
+    out1 = capsys.readouterr().out
+    assert rc == 0
+    assert f"Published bucketed index store to {store}" in out1
+
+    rc = main(["--index-store", store, "-q", "crawl indexes bm25"])
+    out2 = capsys.readouterr().out
+    assert rc == 0
+    assert "Starting website crawl" not in out2
+    assert "Serving published index from" in out2
+
+    def hits(out):
+        return [(ln.split("doc ")[1].split(" ")[0],           # doc_id
+                 round(float(ln.split("score=")[1].split(" ")[0]), 3),
+                 ln.rsplit(" ", 1)[-1])                        # url
+                for ln in out.splitlines() if ". doc " in ln]
+
+    got, want = hits(out2), hits(out1)
+    assert got == want and len(got) > 0
+    assert all(u.startswith("https://") for _, _, u in got)
+
+    # serve-only cannot be combined with a crawl
+    assert main(["-c", "x", "--index-store", store]) == 2
