@@ -385,3 +385,28 @@ def test_scaling_pair_2to8_artifact_is_self_consistent():
     # walls consistent with throughput (49,400-page crawl)
     assert abs(rec["urls_per_sec_small"] * rec["wall_small"] - 49400) < 500
     assert abs(rec["urls_per_sec_big"] * rec["wall_big"] - 49400) < 500
+
+
+def test_index_store_artifact_is_self_consistent():
+    """bench_index_store.json (the committed term-bucketed-store query
+    evidence) must stay internally consistent: the headline median
+    recomputes from the per-query speedups, each speedup from its own
+    walls, every query's scan was actually bucket-pruned, and the
+    correctness cross-check (plain == store results) was asserted by the
+    tool itself before any timing was recorded."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_index_store.json")
+    rec = json.load(open(path))
+
+    assert rec["results_identical"] is True
+    assert rec["term_df_store_exchange_free"] is True
+    speedups = []
+    for q, row in rec["queries"].items():
+        assert abs(row["speedup"] - row["plain_ms"] / row["store_ms"]) < 5e-2
+        k, total = map(int, row["buckets"].split("/"))
+        assert 1 <= k <= len(q.split()) and total == rec["buckets"]
+        speedups.append(row["speedup"])
+    import statistics
+    assert abs(rec["value"] - statistics.median(speedups)) < 5e-3
+    assert rec["value"] >= 1.2  # the pruned scan wins at 20M postings
+    assert rec["n_postings"] > 10_000_000
