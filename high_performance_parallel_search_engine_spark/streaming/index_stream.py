@@ -48,6 +48,14 @@ from ..operators.index_store import (DEFAULT_BUCKETS, DOC_STATS_DIR,  # noqa: F4
 DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
 POSTINGS_SCHEMA = "term string, doc_id long, tf long"
 MANIFEST_NAME = "manifest.json"
+# the columns of a crawl round's pages.parquet snapshot that the index
+# cares about (operators/crawl.py writes them per round; `seq` is the
+# crawl's global deterministic sequence - stable across resume/rewind, so
+# it IS the doc_id, exactly what the CLI's post-crawl indexing uses)
+CRAWL_PAGES_STREAM_SCHEMA = ("url string, round string, seq long, "
+                             "depth int, parent_url string, host string, "
+                             "text string, warc_ts timestamp, lang string, "
+                             "lineage_partition int")
 
 
 def read_docs_stream(spark: SparkSession, path: str,
@@ -55,6 +63,18 @@ def read_docs_stream(spark: SparkSession, path: str,
     return (spark.readStream.schema(DOCS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(path))
+
+
+def crawl_docs_stream(spark: SparkSession, workdir: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """The crawl's OWN round snapshots as the maintenance stream's input:
+    watch `workdir/round=*/pages.parquet` (each committed round appends
+    one) and project pages onto the docs schema. No copy step between
+    crawling and indexing - the round snapshot IS the landing prefix."""
+    raw = (spark.readStream.schema(CRAWL_PAGES_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(os.path.join(workdir, "round=*", "pages.parquet")))
+    return raw.select(F.col("seq").alias("doc_id"), "text", "warc_ts")
 
 
 def latest_doc_versions(batch_df: DataFrame) -> DataFrame:
@@ -172,18 +192,38 @@ def store_is_stale(index_root: str, store_path: str) -> bool:
         published_index_version(store_path)
 
 
-def maintain_index_stream(spark: SparkSession, docs_path: str,
-                          index_root: str, checkpoint: str,
-                          max_files_per_trigger: int = 4,
-                          keep_versions: int = 2):
-    """Start the maintenance stream: docs snapshots at docs_path ->
-    versioned postings under index_root. availableNow drains what exists
-    and stops (the bounded/test form); swap the trigger for a continuous
-    deployment."""
-    stream = read_docs_stream(spark, docs_path, max_files_per_trigger)
+def _start_maintenance(stream: DataFrame, index_root: str, checkpoint: str,
+                       keep_versions: int):
+    """availableNow drains what exists and stops (the bounded/test form);
+    swap the trigger for a continuous deployment."""
     return (stream.writeStream
             .foreachBatch(lambda df, bid: apply_index_delta(
                 index_root, df, bid, keep_versions=keep_versions))
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def maintain_index_stream(spark: SparkSession, docs_path: str,
+                          index_root: str, checkpoint: str,
+                          max_files_per_trigger: int = 4,
+                          keep_versions: int = 2):
+    """Start the maintenance stream: docs snapshots at docs_path ->
+    versioned postings under index_root."""
+    return _start_maintenance(
+        read_docs_stream(spark, docs_path, max_files_per_trigger),
+        index_root, checkpoint, keep_versions)
+
+
+def maintain_index_from_crawl(spark: SparkSession, workdir: str,
+                              index_root: str, checkpoint: str,
+                              max_files_per_trigger: int = 4,
+                              keep_versions: int = 2):
+    """Continuous indexing of a crawl: fold each committed round's pages
+    snapshot into the versioned index as it lands. Rerunnable between (or
+    during) crawl sessions - the stream checkpoint remembers which
+    snapshot files are already folded, so a drain after N more rounds
+    costs O(those rounds)."""
+    return _start_maintenance(
+        crawl_docs_stream(spark, workdir, max_files_per_trigger),
+        index_root, checkpoint, keep_versions)

@@ -23,9 +23,10 @@ from high_performance_parallel_search_engine_spark.operators.index_store import 
     selected_buckets)
 from high_performance_parallel_search_engine_spark.operators.ranking import rank_bm25
 from high_performance_parallel_search_engine_spark.streaming.index_stream import (
-    apply_index_delta, maintain_index_stream, open_published_index,
-    publish_current_index, published_index_version, read_current_postings,
-    read_manifest, store_is_stale)
+    CRAWL_PAGES_STREAM_SCHEMA, apply_index_delta, maintain_index_from_crawl,
+    maintain_index_stream, open_published_index, publish_current_index,
+    published_index_version, read_current_postings, read_manifest,
+    store_is_stale)
 
 TS0 = datetime(2026, 1, 1, 0, 0, 0)
 TS1 = datetime(2026, 1, 2, 0, 0, 0)
@@ -165,6 +166,48 @@ def test_publish_serves_bm25_from_fresh_catalog_with_pruning(spark,
     _, ver3 = publish_current_index(spark, index_root, store_path,
                                     table="t_pub_store", buckets=16)
     assert ver3 == ver + 1 and not store_is_stale(index_root, store_path)
+
+
+def test_maintain_index_from_crawl_workdir(spark, tmp_path):
+    """Continuous indexing straight off a real crawl's round snapshots:
+    the drained index equals a full rebuild over every crawled page
+    (doc_id = the crawl's global seq), and a later-landing round folds in
+    as exactly one new version (O(delta), checkpoint remembers the rest)."""
+    from pyspark.sql import functions as F
+
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig, run_crawl)
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df)
+
+    pages = build_corpus_df(spark).select("url", "warc_ts", "html", "lang")
+    wd = str(tmp_path / "wd")
+    state = run_crawl(spark, pages, ["https://host0.example.com/p/0"], wd,
+                      CrawlConfig(max_depth=3, max_pages=15))
+    assert state.pages_crawled > 0
+    index_root, ckpt = str(tmp_path / "ix"), str(tmp_path / "ck")
+    maintain_index_from_crawl(spark, wd, index_root, ckpt) \
+        .awaitTermination(120)
+
+    crawled = (spark.read.parquet(f"{wd}/round=*/pages.parquet")
+               .select(F.col("seq").alias("doc_id"), "text"))
+    postings, ver = read_current_postings(spark, index_root)
+    assert _rows(postings) == _rows(build_postings(crawled))
+
+    # the next crawl session commits one more round snapshot: the rerun
+    # folds ONLY it (one new file -> exactly one new version)
+    extra_row = [("https://hostx.example.com/p/x", "00099", 10_000, 1,
+                  None, "hostx.example.com", "quantum zebra quantum",
+                  TS2, "en", 0)]
+    spark.createDataFrame(extra_row, CRAWL_PAGES_STREAM_SCHEMA) \
+        .coalesce(1).write.parquet(f"{wd}/round=00099/pages.parquet")
+    maintain_index_from_crawl(spark, wd, index_root, ckpt) \
+        .awaitTermination(120)
+    postings2, ver2 = read_current_postings(spark, index_root)
+    assert ver2 == ver + 1
+    latest = crawled.unionByName(spark.createDataFrame(
+        [(10_000, "quantum zebra quantum")], "doc_id long, text string"))
+    assert _rows(postings2) == _rows(build_postings(latest))
 
 
 def test_retention_keeps_last_versions(spark, tmp_path):
