@@ -18,6 +18,17 @@ complete version or the new complete version, never a partial one; versions
 are immutable directories, and retention keeps the last `keep_versions` so
 an in-flight reader of the previous version survives one swap.
 
+Write amplification (`compact_every`): with the default (1) every batch
+rewrites the full merged postings - fine for tests and small indices, but
+at 10^10 docs that makes maintenance I/O O(index) per batch even though
+tokenization is O(delta). `compact_every=K` switches to the LSM shape
+Lucene-style indexes use: each batch writes ONLY its own postings as an
+immutable delta segment (O(delta) bytes), and every K batches a compaction
+folds base+segments into a new base version. Readers get latest-segment-
+wins-per-doc over base+deltas (`read_current_postings` builds the view);
+retired segments outlive one more compaction so an in-flight reader of the
+previous manifest survives the swap, mirroring the base retention rule.
+
 Ordering contract: the file source delivers files in arrival order, so a
 document re-crawled in a LATER snapshot file lands in the same or a later
 micro-batch and REPLACES its old postings (merge_postings semantics). Inside
@@ -40,7 +51,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.index import merge_postings
+from ..operators.index import build_postings, merge_postings
 from ..operators.index_store import (DEFAULT_BUCKETS, DOC_STATS_DIR,  # noqa: F401 (re-export)
                                      MANIFEST_NAME as STORE_MANIFEST_NAME,
                                      open_store, publish_store)
@@ -93,9 +104,17 @@ def _manifest_path(index_root: str) -> str:
 def read_manifest(index_root: str) -> dict:
     p = _manifest_path(index_root)
     if not os.path.exists(p):
-        return {"version": 0, "applied_batches": []}
+        return {"version": 0, "applied_batches": [], "deltas": [],
+                "retired_deltas": [], "delta_seq": 0, "base_version": 0}
     with open(p) as f:
-        return json.load(f)
+        man = json.load(f)
+    # manifests written before delta segments existed: their v-dir IS the
+    # (only) base and they carry no segments
+    man.setdefault("deltas", [])
+    man.setdefault("retired_deltas", [])
+    man.setdefault("delta_seq", 0)
+    man.setdefault("base_version", man["version"])
+    return man
 
 
 def _write_manifest(index_root: str, man: dict) -> None:
@@ -113,37 +132,89 @@ def _version_dir(index_root: str, version: int) -> str:
 def read_current_postings(spark: SparkSession,
                           index_root: str) -> tuple[DataFrame, int]:
     """(postings, version) of the current index; (empty, 0) before any
-    batch has been applied."""
+    batch has been applied. With delta segments outstanding the returned
+    plan is the merged VIEW: base minus superseded docs, plus latest-
+    segment-wins rows over the deltas - the segment side is |deltas|-
+    sized, so the extra work is one slim agg + anti-join, never a second
+    base scan."""
     man = read_manifest(index_root)
     if man["version"] == 0:
         return spark.createDataFrame([], POSTINGS_SCHEMA), 0
-    return (spark.read.parquet(_version_dir(index_root, man["version"])),
-            man["version"])
+    if man["base_version"] > 0:
+        base = spark.read.parquet(
+            _version_dir(index_root, man["base_version"]))
+    else:
+        base = spark.createDataFrame([], POSTINGS_SCHEMA)
+    if not man["deltas"]:
+        return base, man["version"]
+    segs = None
+    for i, name in enumerate(man["deltas"]):
+        d = (spark.read.parquet(os.path.join(index_root, name))
+             .withColumn("seg", F.lit(i)))
+        segs = d if segs is None else segs.unionByName(d)
+    latest = segs.groupBy("doc_id").agg(F.max("seg").alias("seg"))
+    winners = (segs.join(latest, ["doc_id", "seg"])
+               .select("term", "doc_id", "tf"))
+    kept = (base.join(segs.select("doc_id").distinct(), "doc_id",
+                      "left_anti")
+            .select("term", "doc_id", "tf"))
+    return kept.unionByName(winners), man["version"]
+
+
+def _prune_bases(index_root: str, keep_versions: int) -> None:
+    """Keep the newest keep_versions base dirs (version NUMBERS are sparse
+    in delta mode, so retention counts existing bases, not numbers)."""
+    bases = sorted(d for d in os.listdir(index_root)
+                   if d.startswith("v") and len(d) == 7)
+    for name in bases[:-max(keep_versions, 1)]:
+        shutil.rmtree(os.path.join(index_root, name), ignore_errors=True)
 
 
 def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
-                      keep_versions: int = 2) -> int:
-    """foreachBatch body: fold one micro-batch of documents into a new
-    index version. Idempotent on batch_id (replay-safe). Returns the
-    current version after the call. Single-writer by contract (one
-    maintenance stream per index_root - same as any streaming sink)."""
+                      keep_versions: int = 2,
+                      compact_every: int = 1) -> int:
+    """foreachBatch body: fold one micro-batch of documents into the
+    index. Idempotent on batch_id (replay-safe). Returns the current
+    version after the call. Single-writer by contract (one maintenance
+    stream per index_root - same as any streaming sink).
+
+    compact_every=1 (default): every batch writes a full merged base.
+    compact_every=K: batches write O(delta) segment files; every Kth
+    batch compacts base+segments into a new base (module docstring)."""
     spark = batch_df.sparkSession
     man = read_manifest(index_root)
     if batch_id in man["applied_batches"]:
         return man["version"]  # replayed batch after a failure: no-op
     delta = latest_doc_versions(batch_df)
-    old, version = read_current_postings(spark, index_root)
-    # canonical column order: merge_postings' doc_id anti-join reorders
-    merged = merge_postings(old, delta).select("term", "doc_id", "tf")
-    new_version = version + 1
-    merged.write.mode("overwrite").parquet(
-        _version_dir(index_root, new_version))
-    man = {"version": new_version,
-           "applied_batches": man["applied_batches"] + [batch_id]}
-    _write_manifest(index_root, man)
-    # retention AFTER the swap: keep the last keep_versions immutable dirs
-    for v in range(1, new_version - max(keep_versions, 1) + 1):
-        shutil.rmtree(_version_dir(index_root, v), ignore_errors=True)
+    new_version = man["version"] + 1
+    if len(man["deltas"]) + 1 >= max(compact_every, 1):
+        old, _ = read_current_postings(spark, index_root)
+        # canonical column order: merge_postings' anti-join reorders
+        merged = merge_postings(old, delta).select("term", "doc_id", "tf")
+        merged.write.mode("overwrite").parquet(
+            _version_dir(index_root, new_version))
+        doomed = man["retired_deltas"]
+        _write_manifest(index_root, {
+            **man, "version": new_version, "base_version": new_version,
+            "applied_batches": man["applied_batches"] + [batch_id],
+            "deltas": [], "retired_deltas": man["deltas"]})
+        # retention AFTER the swap: the outgoing segments stay one more
+        # compaction (a reader of the previous manifest may hold them);
+        # segments retired at the PREVIOUS compaction go now
+        for name in doomed:
+            shutil.rmtree(os.path.join(index_root, name),
+                          ignore_errors=True)
+        _prune_bases(index_root, keep_versions)
+    else:
+        name = f"d{man['delta_seq']:06d}"
+        (build_postings(delta).select("term", "doc_id", "tf")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_root, name)))
+        _write_manifest(index_root, {
+            **man, "version": new_version,
+            "applied_batches": man["applied_batches"] + [batch_id],
+            "deltas": man["deltas"] + [name],
+            "delta_seq": man["delta_seq"] + 1})
     return new_version
 
 
@@ -193,12 +264,13 @@ def store_is_stale(index_root: str, store_path: str) -> bool:
 
 
 def _start_maintenance(stream: DataFrame, index_root: str, checkpoint: str,
-                       keep_versions: int):
+                       keep_versions: int, compact_every: int):
     """availableNow drains what exists and stops (the bounded/test form);
     swap the trigger for a continuous deployment."""
     return (stream.writeStream
             .foreachBatch(lambda df, bid: apply_index_delta(
-                index_root, df, bid, keep_versions=keep_versions))
+                index_root, df, bid, keep_versions=keep_versions,
+                compact_every=compact_every))
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
@@ -207,18 +279,20 @@ def _start_maintenance(stream: DataFrame, index_root: str, checkpoint: str,
 def maintain_index_stream(spark: SparkSession, docs_path: str,
                           index_root: str, checkpoint: str,
                           max_files_per_trigger: int = 4,
-                          keep_versions: int = 2):
+                          keep_versions: int = 2,
+                          compact_every: int = 1):
     """Start the maintenance stream: docs snapshots at docs_path ->
     versioned postings under index_root."""
     return _start_maintenance(
         read_docs_stream(spark, docs_path, max_files_per_trigger),
-        index_root, checkpoint, keep_versions)
+        index_root, checkpoint, keep_versions, compact_every)
 
 
 def maintain_index_from_crawl(spark: SparkSession, workdir: str,
                               index_root: str, checkpoint: str,
                               max_files_per_trigger: int = 4,
-                              keep_versions: int = 2):
+                              keep_versions: int = 2,
+                              compact_every: int = 1):
     """Continuous indexing of a crawl: fold each committed round's pages
     snapshot into the versioned index as it lands. Rerunnable between (or
     during) crawl sessions - the stream checkpoint remembers which
@@ -226,4 +300,4 @@ def maintain_index_from_crawl(spark: SparkSession, workdir: str,
     costs O(those rounds)."""
     return _start_maintenance(
         crawl_docs_stream(spark, workdir, max_files_per_trigger),
-        index_root, checkpoint, keep_versions)
+        index_root, checkpoint, keep_versions, compact_every)

@@ -210,6 +210,106 @@ def test_maintain_index_from_crawl_workdir(spark, tmp_path):
     assert _rows(postings2) == _rows(build_postings(latest))
 
 
+def _dir_bytes(path):
+    return sum(os.path.getsize(os.path.join(r, f))
+               for r, _, fs in os.walk(path) for f in fs)
+
+
+def test_delta_segments_equal_compaction(spark, tmp_path):
+    """LSM mode (compact_every=K) and full-rewrite mode (=1) read
+    identically, including a doc revised across TWO delta segments
+    (latest segment wins) and one revised inside a batch."""
+    batches = [
+        [(1, "alpha bravo", TS0), (2, "charlie", TS0)],
+        [(2, "charlie REVISED", TS1), (3, "delta echo", TS1)],
+        [(1, "alpha FINAL", TS2), (1, "alpha OLD", TS1), (4, "fox", TS2)],
+    ]
+    roots = {"lsm": str(tmp_path / "lsm"), "full": str(tmp_path / "full")}
+    for i, rows in enumerate(batches):
+        apply_index_delta(roots["lsm"], _docs(spark, rows), batch_id=i,
+                          compact_every=10)
+        apply_index_delta(roots["full"], _docs(spark, rows), batch_id=i)
+    latest = _docs(spark, [(1, "alpha FINAL", TS2),
+                           (2, "charlie REVISED", TS1),
+                           (3, "delta echo", TS1), (4, "fox", TS2)])
+    want = _rows(build_postings(latest))
+    for root in roots.values():
+        postings, ver = read_current_postings(spark, root)
+        assert _rows(postings) == want and ver == 3
+    man = read_manifest(roots["lsm"])
+    assert man["deltas"] == ["d000000", "d000001", "d000002"]
+    assert man["base_version"] == 0  # never compacted
+    assert not any(d.startswith("v") for d in os.listdir(roots["lsm"]))
+
+
+def test_delta_mode_writes_o_delta_bytes(spark, tmp_path):
+    """The LSM point: a small batch after a big one writes bytes
+    proportional to ITS delta, while full-rewrite mode rewrites the whole
+    merged index for the same small batch."""
+    big = [(i, " ".join(f"tok{i}x{j}" for j in range(40)), TS0)
+           for i in range(300)]
+    small = [(9001, "tiny doc", TS1), (9002, "tinier", TS1)]
+    lsm, full = str(tmp_path / "lsm"), str(tmp_path / "full")
+    for root, ce in ((lsm, 10), (full, 1)):
+        apply_index_delta(root, _docs(spark, big), 0, compact_every=ce)
+        apply_index_delta(root, _docs(spark, small), 1, compact_every=ce)
+    d0 = _dir_bytes(os.path.join(lsm, "d000000"))
+    d1 = _dir_bytes(os.path.join(lsm, "d000001"))
+    assert d1 < d0 * 0.2, f"segment for 2 docs cost {d1}B vs {d0}B"
+    v2 = _dir_bytes(os.path.join(full, "v000002"))
+    assert v2 > d0 * 0.5  # full mode re-paid ~the whole index for 2 docs
+    # both layouts still read identically
+    a, _ = read_current_postings(spark, lsm)
+    b, _ = read_current_postings(spark, full)
+    assert _rows(a) == _rows(b)
+
+
+def test_compaction_folds_segments_and_retires(spark, tmp_path):
+    """compact_every=2 lifecycle: segment, compact, segment, compact —
+    retired segments survive exactly one further compaction (in-flight
+    readers of the previous manifest), old bases pruned by count."""
+    root = str(tmp_path / "ix")
+    rows = [[(i, f"word{i} common", TS0)] for i in range(4)]
+    apply_index_delta(root, _docs(spark, rows[0]), 0, compact_every=2,
+                      keep_versions=1)
+    man = read_manifest(root)
+    assert man["deltas"] == ["d000000"] and man["base_version"] == 0
+    apply_index_delta(root, _docs(spark, rows[1]), 1, compact_every=2,
+                      keep_versions=1)
+    man = read_manifest(root)
+    assert man["base_version"] == 2 and man["deltas"] == []
+    assert man["retired_deltas"] == ["d000000"]
+    assert os.path.isdir(os.path.join(root, "d000000"))  # one-swap grace
+    apply_index_delta(root, _docs(spark, rows[2]), 2, compact_every=2,
+                      keep_versions=1)
+    assert read_manifest(root)["deltas"] == ["d000001"]
+    apply_index_delta(root, _docs(spark, rows[3]), 3, compact_every=2,
+                      keep_versions=1)
+    man = read_manifest(root)
+    assert man["base_version"] == 4
+    assert man["retired_deltas"] == ["d000001"]
+    assert not os.path.isdir(os.path.join(root, "d000000"))  # now gone
+    assert not os.path.isdir(os.path.join(root, "v000002"))  # keep 1 base
+    postings, ver = read_current_postings(spark, root)
+    assert ver == 4
+    assert _rows(postings) == _rows(build_postings(_docs(
+        spark, [r for b in rows for r in b])))
+
+
+def test_stream_drain_in_lsm_mode_equals_rebuild(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    _snap(spark, docs_dir, "s0", [(1, "alpha bravo", TS0)])
+    _snap(spark, docs_dir, "s1", [(1, "alpha REVISED", TS1),
+                                  (2, "charlie", TS1)])
+    q = maintain_index_stream(spark, docs_dir + "/*",
+                              str(tmp_path / "ix"), str(tmp_path / "ck"),
+                              max_files_per_trigger=1, compact_every=100)
+    q.awaitTermination(120)
+    postings, _ = read_current_postings(spark, str(tmp_path / "ix"))
+    assert _rows(postings) == _rows(build_postings(_docs(
+        spark, [(1, "alpha REVISED", TS1), (2, "charlie", TS1)])))
+
+
 def test_retention_keeps_last_versions(spark, tmp_path):
     index_root = str(tmp_path / "index")
     for i in range(4):
