@@ -155,10 +155,14 @@ class EngineState:
     running answers 409 busy instead of racing two run_crawl loops into the
     same workdir."""
 
-    def __init__(self, spark, workdir: str, pages_df=None):
+    def __init__(self, spark, workdir: str, pages_df=None,
+                 index_store: str | None = None):
         self.spark = spark
         self.workdir = workdir
         self.pages_df = pages_df
+        # serve a published term-bucketed store (operators.index_store)
+        # instead of indexing the workdir's crawl: read-only serving tier
+        self.index_store = index_store
         self._lock = threading.Lock()
         self._no_readers = threading.Condition(self._lock)
         self._readers = 0
@@ -172,12 +176,26 @@ class EngineState:
             build_index_tables, term_df, term_df_map,
         )
 
-        docs = (self.spark.read
-                .parquet(f"{self.workdir}/round=*/pages.parquet")
-                .select(F.col("seq").alias("doc_id"), "url", "text"))
-        # one tokenization pass builds both tables (stats derive from the
-        # checkpointed postings), then both are cached for serving
-        postings, stats = build_index_tables(docs)
+        if self.index_store is not None:
+            # published-store serving: postings + doc stats + url map all
+            # come from the self-contained store directory; nothing is
+            # tokenized here (the publisher already paid that)
+            from .operators.index_store import open_store
+
+            tbl, stats, doc_map = open_store(self.spark, self.index_store,
+                                             table="api_postings_store")
+            postings = tbl
+            urls_src = (doc_map if doc_map is not None else
+                        self.spark.createDataFrame(
+                            [], "doc_id long, url string"))
+        else:
+            docs = (self.spark.read
+                    .parquet(f"{self.workdir}/round=*/pages.parquet")
+                    .select(F.col("seq").alias("doc_id"), "url", "text"))
+            # one tokenization pass builds both tables (stats derive from
+            # the checkpointed postings), then both are cached for serving
+            postings, stats = build_index_tables(docs)
+            urls_src = docs.select("doc_id", "url")
         postings = postings.cache()
         stats = stats.cache()
         total = stats.count()
@@ -199,7 +217,7 @@ class EngineState:
         # urls stay a DataFrame: resolving a top-k result joins k rows
         # against it (broadcast on the k side), so nothing doc-count-sized
         # ever crosses to the driver - a 10^9-doc corpus serves the same way
-        urls = docs.select("doc_id", "url").cache()
+        urls = urls_src.cache()
         n_urls = urls.count()
         # Local serving path (operators.local_serve): an index that fits
         # one node's memory is collected ONCE and every query is served
@@ -250,18 +268,22 @@ class EngineState:
     # ---- endpoint logic -----------------------------------------------
 
     def status(self) -> dict:
-        rounds = sorted(p.name for p in Path(self.workdir).glob("round=*")
-                        if (p / "manifest.json").exists()
-                        and not p.name.startswith("round=-"))  # skip seed init
+        rounds = [] if self.workdir is None else sorted(
+            p.name for p in Path(self.workdir).glob("round=*")
+            if (p / "manifest.json").exists()
+            and not p.name.startswith("round=-"))  # skip seed init
         # lock-free peek (status must answer while a build holds _lock);
         # a torn read can only show the previous/None index, never garbage
         ix = self._index
         serving = ("unbuilt" if ix is None else
                    "local" if ix["local"] is not None else "distributed")
-        return {"status": "ok", "api_version": "1.0",
-                "workdir": self.workdir, "committed_rounds": len(rounds),
-                "building": self._crawl_lock.locked(),
-                "serving_path": serving}
+        out = {"status": "ok", "api_version": "1.0",
+               "workdir": self.workdir, "committed_rounds": len(rounds),
+               "building": self._crawl_lock.locked(),
+               "serving_path": serving}
+        if self.index_store is not None:
+            out["index_store"] = self.index_store
+        return out
 
     def _search_with(self, ix, query: str, limit: int,
                      fallback: bool) -> dict:
@@ -277,7 +299,8 @@ class EngineState:
             ms = (time.perf_counter() - t0) * 1000
             return {"status": "ok", "query": query,
                     "query_time_ms": round(ms, 2),
-                    "results": [{"doc_id": d, "url": ix["url_map"][d],
+                    "results": [{"doc_id": d,
+                                 "url": ix["url_map"].get(d, ""),
                                  "score": round(s, 4)} for d, s in hits]}
 
         t0 = time.perf_counter()
@@ -328,7 +351,7 @@ class EngineState:
                         "results": [
                             {"query": q,
                              "results": [{"doc_id": d,
-                                          "url": ix["url_map"][d],
+                                          "url": ix["url_map"].get(d, ""),
                                           "score": round(s, 4)}
                                          for d, s in hits_q]}
                             for q, hits_q in zip(queries, per_lists)]}
@@ -404,6 +427,8 @@ class EngineState:
 
     def metrics(self) -> dict:
         out = []
+        if self.workdir is None:
+            return {"status": "ok", "rounds": out}
         for p in sorted(Path(self.workdir).glob("round=*/metrics.json")):
             out.append(json.loads(p.read_text()))
         return {"status": "ok", "rounds": out}
@@ -413,6 +438,10 @@ class EngineState:
         from .operators.crawl import CrawlConfig, run_crawl
         from .sources.synth import build_corpus_df
 
+        if self.index_store is not None:
+            return {"status": "error", "_code": 400,
+                    "error": "store-backed server is read-only; crawl on "
+                             "a workdir server and republish the store"}
         if not self._crawl_lock.acquire(blocking=False):
             return {"status": "error", "_code": 409,
                     "error": "a crawl is already in progress"}
@@ -439,8 +468,10 @@ class EngineState:
 
 
 def make_server(spark, workdir: str, pages_df=None,
-                port: int = 0) -> ThreadingHTTPServer:
-    engine = EngineState(spark, workdir, pages_df)
+                port: int = 0,
+                index_store: str | None = None) -> ThreadingHTTPServer:
+    engine = EngineState(spark, workdir, pages_df,
+                         index_store=index_store)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

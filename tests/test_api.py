@@ -252,3 +252,59 @@ def test_run_crawl_refuses_silent_overwrite(spark, tmp_path):
     assert st2.pages_crawled == st1.pages_crawled
     st3 = run_crawl(spark, pages, seeds, wd, cfg, overwrite=True)
     assert st3.pages_crawled == st1.pages_crawled
+
+
+def test_api_store_backed_serving(spark, tmp_path):
+    """--index-store analog at the API layer: a server pointed at a
+    published term-bucketed store serves /api/search (urls from the
+    store's own _doc_map) with NO crawl workdir at all, and /api/crawl is
+    rejected as read-only."""
+    from pyspark.sql import functions as F
+
+    from high_performance_parallel_search_engine_spark.api import make_server
+    from high_performance_parallel_search_engine_spark.operators.crawl import (
+        CrawlConfig, run_crawl)
+    from high_performance_parallel_search_engine_spark.operators.index import (
+        build_index_tables)
+    from high_performance_parallel_search_engine_spark.operators.index_store import (
+        publish_store)
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        build_corpus_df)
+
+    wd, store = str(tmp_path / "wd"), str(tmp_path / "store")
+    pages = build_corpus_df(spark).select("url", "warc_ts", "html", "lang")
+    run_crawl(spark, pages, ["https://host0.example.com/p/0"], wd,
+              CrawlConfig(max_depth=3, max_pages=25))
+    docs = (spark.read.parquet(f"{wd}/round=*/pages.parquet")
+            .select(F.col("seq").alias("doc_id"), "url", "text"))
+    postings, _ = build_index_tables(docs)
+    publish_store(postings, store, table="t_api_store", buckets=16,
+                  doc_map=docs.select("doc_id", "url"))
+
+    srv = make_server(spark, None, port=0, index_store=store)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        code, st = _get(port, "/api/status")
+        assert code == 200 and st["index_store"] == store
+        assert st["workdir"] is None and st["committed_rounds"] == 0
+
+        code, s = _post(port, "/api/search",
+                        {"query": "crawl indexes bm25", "limit": 5})
+        assert code == 200 and s["status"] == "ok"
+        assert len(s["results"]) == 5
+        assert all(r["url"].startswith("https://") for r in s["results"])
+
+        code, b = _post(port, "/api/search",
+                        {"queries": ["crawl indexes bm25", "engine"]})
+        assert code == 200 and len(b["results"]) == 2
+        assert b["results"][0]["results"]
+
+        code, m = _get(port, "/api/metrics")
+        assert code == 200 and m["rounds"] == []
+
+        code, cr = _post(port, "/api/crawl",
+                         {"start_url": "https://host0.example.com/p/0"})
+        assert code == 400 and "read-only" in cr["error"]
+    finally:
+        srv.shutdown()
