@@ -234,8 +234,9 @@ class EngineState:
             n_postings=n_postings, n_urls=n_urls,
             max_urls=_LOCAL_URLMAP_MAX_DOCS)
         return {"postings": postings, "stats": stats, "total": total,
-                "avg_dl": avg_dl, "urls": urls, "term_df": dfs,
-                "df_map": df_map, "local": local, "url_map": url_map}
+                "avg_dl": avg_dl, "urls": urls, "has_urls": n_urls > 0,
+                "term_df": dfs, "df_map": df_map, "local": local,
+                "url_map": url_map}
 
     def _acquire_index(self):
         """Build-if-needed and register this thread as a reader; the caller
@@ -310,10 +311,17 @@ class EngineState:
                          df_table=(None if ix["df_map"] is not None
                                    else ix["term_df"]),
                          df_map=ix["df_map"])
-        # k rows broadcast into the urls table - never a driver-side url map
+        # k rows broadcast into the urls table - never a driver-side url
+        # map. A store published without a doc map has NO url table: the
+        # inner join would drop every hit, so serve the hits url-less
+        # (mirrors the local path's url_map.get(d, "") behavior)
         with interactive_query_conf(self.spark):
-            rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
-                    .select("doc_id", "url", "score").collect())
+            if ix["has_urls"]:
+                rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
+                        .select("doc_id", "url", "score").collect())
+            else:
+                rows = [{"doc_id": r["doc_id"], "url": "",
+                         "score": r["score"]} for r in hits.collect()]
         rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         ms = (time.perf_counter() - t0) * 1000
         return {"status": "ok", "query": query,
@@ -367,9 +375,15 @@ class EngineState:
                                              else ix["term_df"]),
                                    df_map=ix["df_map"])
             with interactive_query_conf(self.spark):
-                rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
-                        .select("query_id", "doc_id", "url", "score", "rk")
-                        .collect())
+                if ix["has_urls"]:
+                    rows = (ix["urls"].join(F.broadcast(hits), "doc_id")
+                            .select("query_id", "doc_id", "url", "score",
+                                    "rk").collect())
+                else:  # no url table (store without doc map): url-less
+                    rows = [{"query_id": r["query_id"],
+                             "doc_id": r["doc_id"], "url": "",
+                             "score": r["score"], "rk": r["rk"]}
+                            for r in hits.collect()]
             ms = (time.perf_counter() - t0) * 1000
         finally:
             self._release_index()

@@ -98,23 +98,38 @@ def save_postings_bucketed(postings: DataFrame, path: str,
     return spark.table(table)
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    from urllib.parse import urlparse
+
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"] == "Location":
+            return urlparse(r["data_type"]).path
+    return None
+
+
 def register_postings_store(spark: SparkSession, path: str,
                             table: str | None = None) -> DataFrame:
     """Re-attach an existing bucketed store directory in THIS session (new
     session, new cluster, or after a catalog wipe): reads the sidecar and
-    issues the CLUSTERED BY DDL over the external LOCATION. Idempotent -
-    an already-registered table is returned as-is."""
+    issues the CLUSTERED BY DDL over the external LOCATION. Idempotent
+    for the SAME directory; a table name already bound to a DIFFERENT
+    location is dropped and re-bound - otherwise a fixed serving name
+    ('cli_postings_store') would silently answer queries from whichever
+    store registered first in the session."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         meta = json.load(f)
     table = table or meta["table"]
     _pin_bucketed_scan(spark)
-    if not spark.catalog.tableExists(table):
-        spark.sql(
-            f"CREATE TABLE {table} ({meta['schema_ddl']}) USING PARQUET "
-            f"CLUSTERED BY ({meta['bucket_col']}) "
-            f"SORTED BY ({meta['sort_col']}) "
-            f"INTO {meta['buckets']} BUCKETS "
-            f"LOCATION '{os.path.abspath(path)}'")
+    if spark.catalog.tableExists(table):
+        if _table_location(spark, table) == os.path.abspath(path):
+            return spark.table(table)
+        spark.sql(f"DROP TABLE {table}")  # external: files untouched
+    spark.sql(
+        f"CREATE TABLE {table} ({meta['schema_ddl']}) USING PARQUET "
+        f"CLUSTERED BY ({meta['bucket_col']}) "
+        f"SORTED BY ({meta['sort_col']}) "
+        f"INTO {meta['buckets']} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'")
     return spark.table(table)
 
 

@@ -59,6 +59,12 @@ from ..operators.index_store import (DEFAULT_BUCKETS, DOC_STATS_DIR,  # noqa: F4
 DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
 POSTINGS_SCHEMA = "term string, doc_id long, tf long"
 MANIFEST_NAME = "manifest.json"
+# per-segment doc-id key set (tombstones): written INSIDE the segment dir
+# under an underscore name so a plain read of the segment sees only
+# postings; a re-crawl that tokenizes to ZERO postings still supersedes
+# the doc's old postings because its id is in the key set
+SEGMENT_DOCS_DIR = "_docs"
+_DEFAULT_STREAM = "default"
 # the columns of a crawl round's pages.parquet snapshot that the index
 # cares about (operators/crawl.py writes them per round; `seq` is the
 # crawl's global deterministic sequence - stable across resume/rewind, so
@@ -104,7 +110,7 @@ def _manifest_path(index_root: str) -> str:
 def read_manifest(index_root: str) -> dict:
     p = _manifest_path(index_root)
     if not os.path.exists(p):
-        return {"version": 0, "applied_batches": [], "deltas": [],
+        return {"version": 0, "applied": {}, "deltas": [],
                 "retired_deltas": [], "delta_seq": 0, "base_version": 0}
     with open(p) as f:
         man = json.load(f)
@@ -114,6 +120,13 @@ def read_manifest(index_root: str) -> dict:
     man.setdefault("retired_deltas", [])
     man.setdefault("delta_seq", 0)
     man.setdefault("base_version", man["version"])
+    # pre-round-5b manifests kept every applied batch id in a list; the
+    # bounded form keeps max applied id PER STREAM (batch ids are
+    # monotonic per checkpoint, so `<= max` IS the replay test, and the
+    # manifest stops growing with batch count)
+    if "applied" not in man:
+        legacy = man.pop("applied_batches", [])
+        man["applied"] = {_DEFAULT_STREAM: max(legacy)} if legacy else {}
     return man
 
 
@@ -147,15 +160,21 @@ def read_current_postings(spark: SparkSession,
         base = spark.createDataFrame([], POSTINGS_SCHEMA)
     if not man["deltas"]:
         return base, man["version"]
-    segs = None
+    segs = keys = None
     for i, name in enumerate(man["deltas"]):
         d = (spark.read.parquet(os.path.join(index_root, name))
              .withColumn("seg", F.lit(i)))
+        # supersession comes from the segment's KEY SET, not its posting
+        # rows: a doc revised to zero tokens has keys but no rows
+        k = (spark.read.parquet(
+                os.path.join(index_root, name, SEGMENT_DOCS_DIR))
+             .withColumn("seg", F.lit(i)))
         segs = d if segs is None else segs.unionByName(d)
-    latest = segs.groupBy("doc_id").agg(F.max("seg").alias("seg"))
+        keys = k if keys is None else keys.unionByName(k)
+    latest = keys.groupBy("doc_id").agg(F.max("seg").alias("seg"))
     winners = (segs.join(latest, ["doc_id", "seg"])
                .select("term", "doc_id", "tf"))
-    kept = (base.join(segs.select("doc_id").distinct(), "doc_id",
+    kept = (base.join(keys.select("doc_id").distinct(), "doc_id",
                       "left_anti")
             .select("term", "doc_id", "tf"))
     return kept.unionByName(winners), man["version"]
@@ -171,22 +190,29 @@ def _prune_bases(index_root: str, keep_versions: int) -> None:
 
 
 def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
-                      keep_versions: int = 2,
-                      compact_every: int = 1) -> int:
+                      keep_versions: int = 2, compact_every: int = 1,
+                      stream_id: str | None = None) -> int:
     """foreachBatch body: fold one micro-batch of documents into the
-    index. Idempotent on batch_id (replay-safe). Returns the current
-    version after the call. Single-writer by contract (one maintenance
-    stream per index_root - same as any streaming sink).
+    index. Idempotent on (stream_id, batch_id): batch ids restart at 0
+    under a NEW checkpoint with a different file-to-batch assignment, so
+    replay detection must be per-stream - the maintenance starters pass
+    the checkpoint path. The log keeps only the max applied id per
+    stream (ids are monotonic per checkpoint), so the manifest stays
+    O(#streams), not O(#batches). Returns the current version after the
+    call. Single-writer by contract (one maintenance stream per
+    index_root - same as any streaming sink).
 
     compact_every=1 (default): every batch writes a full merged base.
     compact_every=K: batches write O(delta) segment files; every Kth
     batch compacts base+segments into a new base (module docstring)."""
     spark = batch_df.sparkSession
     man = read_manifest(index_root)
-    if batch_id in man["applied_batches"]:
+    skey = stream_id or _DEFAULT_STREAM
+    if batch_id <= man["applied"].get(skey, -1):
         return man["version"]  # replayed batch after a failure: no-op
     delta = latest_doc_versions(batch_df)
     new_version = man["version"] + 1
+    applied = {**man["applied"], skey: batch_id}
     if len(man["deltas"]) + 1 >= max(compact_every, 1):
         old, _ = read_current_postings(spark, index_root)
         # canonical column order: merge_postings' anti-join reorders
@@ -196,7 +222,7 @@ def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
         doomed = man["retired_deltas"]
         _write_manifest(index_root, {
             **man, "version": new_version, "base_version": new_version,
-            "applied_batches": man["applied_batches"] + [batch_id],
+            "applied": applied,
             "deltas": [], "retired_deltas": man["deltas"]})
         # retention AFTER the swap: the outgoing segments stay one more
         # compaction (a reader of the previous manifest may hold them);
@@ -210,9 +236,13 @@ def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
         (build_postings(delta).select("term", "doc_id", "tf")
          .write.mode("overwrite")
          .parquet(os.path.join(index_root, name)))
+        # the key set AFTER the postings (both O(delta)): a segment is
+        # only referenced by a manifest written after both exist
+        (delta.select("doc_id").distinct()
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_root, name, SEGMENT_DOCS_DIR)))
         _write_manifest(index_root, {
-            **man, "version": new_version,
-            "applied_batches": man["applied_batches"] + [batch_id],
+            **man, "version": new_version, "applied": applied,
             "deltas": man["deltas"] + [name],
             "delta_seq": man["delta_seq"] + 1})
     return new_version
@@ -267,10 +297,11 @@ def _start_maintenance(stream: DataFrame, index_root: str, checkpoint: str,
                        keep_versions: int, compact_every: int):
     """availableNow drains what exists and stops (the bounded/test form);
     swap the trigger for a continuous deployment."""
+    sid = os.path.abspath(checkpoint)
     return (stream.writeStream
             .foreachBatch(lambda df, bid: apply_index_delta(
                 index_root, df, bid, keep_versions=keep_versions,
-                compact_every=compact_every))
+                compact_every=compact_every, stream_id=sid))
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())

@@ -308,3 +308,34 @@ def test_api_store_backed_serving(spark, tmp_path):
         assert code == 400 and "read-only" in cr["error"]
     finally:
         srv.shutdown()
+
+
+def test_api_distributed_search_without_url_table(spark):
+    """A store published without _doc_map (the streaming publisher's
+    output) has NO url table: the distributed path must serve the hits
+    url-less instead of inner-joining every result away."""
+    from high_performance_parallel_search_engine_spark.api import EngineState
+    from high_performance_parallel_search_engine_spark.operators.index import (
+        build_index_tables)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} w{i+1}") for i in range(30)],
+        "doc_id long, text string")
+    postings, stats = build_index_tables(docs)
+    total = stats.count()
+    avg_dl = stats.groupBy().avg("dl").collect()[0][0]
+    ix = {"postings": postings, "stats": stats, "total": total,
+          "avg_dl": avg_dl,
+          "urls": spark.createDataFrame([], "doc_id long, url string"),
+          "has_urls": False, "term_df": None, "df_map": None,
+          "local": None, "url_map": {}}
+    eng = EngineState(spark, None)
+    out = eng._search_with(ix, "alpha", 5, fallback=True)
+    assert out["status"] == "ok" and len(out["results"]) == 5
+    assert all(r["url"] == "" and r["score"] > 0 for r in out["results"])
+
+    eng._index = ix  # batch path through the same index dict
+    b = eng.search_batch(["alpha", "w3"], limit=3)
+    assert b["status"] == "ok" and len(b["results"]) == 2
+    assert b["results"][0]["results"]
+    assert all(r["url"] == "" for r in b["results"][0]["results"])

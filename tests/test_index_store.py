@@ -139,3 +139,21 @@ def test_pushdown_cap_skips_huge_term_lists(corpus):
     many = [f"t{i}" for i in range(TERM_PUSHDOWN_MAX + 1)]
     assert _pushdown_candidate_terms(postings, many) is postings
     assert _pushdown_candidate_terms(postings, []) is postings
+
+
+def test_reregister_rebinds_when_location_changed(spark, corpus, tmp_path):
+    """A fixed serving table name pointed at a NEW store directory must
+    re-bind, not silently keep answering from the old files."""
+    postings, _ = corpus
+    a = str(tmp_path / "store_a")
+    b = str(tmp_path / "store_b")
+    save_postings_bucketed(postings, a, table="t_rebind", buckets=8)
+    save_postings_bucketed(postings.where(F.col("term") != "alpha"), b,
+                           table="t_rebind_b", buckets=8)
+    assert register_postings_store(spark, a, table="t_rebind_x") \
+        .where(F.col("term") == "alpha").count() > 0
+    # same name, different directory: must serve b's (alpha-free) postings
+    tbl = register_postings_store(spark, b, table="t_rebind_x")
+    assert tbl.where(F.col("term") == "alpha").count() == 0
+    sel = selected_buckets(tbl.where(F.col("term") == "bravo"))
+    assert sel is not None and sel[1] == 8  # bucket spec is b's, too

@@ -78,7 +78,9 @@ def test_stream_merge_equals_full_rebuild_with_replacement(spark, tmp_path):
     assert _rows(postings) == _rows(build_postings(latest))
     assert version >= 2  # one version per non-empty micro-batch
     man = read_manifest(index_root)
-    assert len(man["applied_batches"]) == version
+    # replay log is bounded: max applied id for this checkpoint's stream,
+    # not a per-batch list
+    assert man["applied"] == {os.path.abspath(ckpt): version - 1}
 
     # restart on the same checkpoint with no new files: nothing applied
     _drain(spark, docs_dir, index_root, ckpt)
@@ -294,6 +296,54 @@ def test_compaction_folds_segments_and_retires(spark, tmp_path):
     assert ver == 4
     assert _rows(postings) == _rows(build_postings(_docs(
         spark, [r for b in rows for r in b])))
+
+
+def test_lsm_zero_token_recrawl_supersedes(spark, tmp_path):
+    """A re-crawl that tokenizes to ZERO postings (empty / all-stopword
+    text) must still delete the doc's old postings in LSM mode - the
+    segment's key set, not its posting rows, drives supersession. Also
+    survives compaction (the tombstone must not resurrect the doc)."""
+    lsm, full = str(tmp_path / "lsm"), str(tmp_path / "full")
+    batches = [
+        [(1, "alpha bravo", TS0), (2, "charlie", TS0)],
+        [(1, "", TS1)],   # empty re-crawl -> zero postings
+    ]
+    for i, rows in enumerate(batches):
+        apply_index_delta(lsm, _docs(spark, rows), i, compact_every=10)
+        apply_index_delta(full, _docs(spark, rows), i)
+    want = _rows(build_postings(_docs(spark, [(2, "charlie", TS0)])))
+    for root in (lsm, full):
+        postings, _ = read_current_postings(spark, root)
+        assert _rows(postings) == want, root
+    # compaction bakes the tombstone in, not the stale postings
+    apply_index_delta(lsm, _docs(spark, [(3, "delta", TS2)]), 2,
+                      compact_every=1)
+    postings, _ = read_current_postings(spark, lsm)
+    assert _rows(postings) == _rows(build_postings(_docs(
+        spark, [(2, "charlie", TS0), (3, "delta", TS2)])))
+
+
+def test_fresh_checkpoint_over_existing_index_reapplies(spark, tmp_path):
+    """Batch ids restart at 0 under a new checkpoint, so replay detection
+    is per-stream: a rerun with a NEW checkpoint over an existing
+    index_root must fold its batches (replace semantics keep the result
+    identical), never skip them as replays of the old stream's ids."""
+    docs_dir = str(tmp_path / "docs")
+    index_root = str(tmp_path / "ix")
+    _snap(spark, docs_dir, "s0", [(1, "alpha bravo", TS0)])
+    _drain(spark, docs_dir, index_root, str(tmp_path / "ck1"))
+    v1 = read_manifest(index_root)["version"]
+
+    # checkpoint lost/recreated: same files re-deliver as batch 0 PLUS a
+    # new file - under the old ids batch 0 would be "already applied"
+    _snap(spark, docs_dir, "s1", [(2, "charlie", TS1)])
+    _drain(spark, docs_dir, index_root, str(tmp_path / "ck2"))
+    man = read_manifest(index_root)
+    assert man["version"] > v1
+    assert len(man["applied"]) == 2  # both streams tracked independently
+    postings, _ = read_current_postings(spark, index_root)
+    assert _rows(postings) == _rows(build_postings(_docs(
+        spark, [(1, "alpha bravo", TS0), (2, "charlie", TS1)])))
 
 
 def test_stream_drain_in_lsm_mode_equals_rebuild(spark, tmp_path):
