@@ -150,6 +150,33 @@ def _clamped_limits(args) -> tuple[int, int]:
     return depth, pages
 
 
+def _print_hits(entries) -> None:
+    """Ranked-result lines shared by every CLI serving path; entries are
+    (doc_id, score, url) tuples."""
+    entries = list(entries)
+    for rank, (d, s, u) in enumerate(entries, 1):
+        print(f"{rank:2d}. doc {d} score={s:.4f} {u}")
+    if not entries:
+        print("No results.")
+
+
+def _interactive_loop(run_query) -> float:
+    """The reference's query prompt (main.c:172-184); EOF or 'exit'
+    quits. Returns the last query's wall in ms (0.0 if none ran)."""
+    print("Search engine ready for queries.")
+    last = 0.0
+    while True:
+        try:
+            q = input("Enter your search query: ").strip()
+        except EOFError:
+            break
+        if not q or q.lower() in ("exit", "quit"):
+            break
+        print(f"\nSearching for: {q}")
+        last = run_query(q)
+    return last
+
+
 def _serve_from_store(args, spark=None) -> int:
     """Serve-only mode: -q / -i answered straight from a published
     term-bucketed store directory (no crawl, no source corpus). The BM25
@@ -157,7 +184,7 @@ def _serve_from_store(args, spark=None) -> int:
     their buckets, df comes from the exchange-free (term, df) table."""
     from pyspark.sql import functions as F
 
-    from .operators.index import term_df
+    from .operators.index import avg_doc_len, term_df
     from .operators.index_store import open_store
     from .operators.ranking import interactive_query_conf, rank_bm25
     from .session import build_session
@@ -169,14 +196,13 @@ def _serve_from_store(args, spark=None) -> int:
     tbl, stats, doc_map = open_store(spark, args.index_store,
                                      table="cli_postings_store")
     total = stats.count()
-    avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
-              if total else 0.0)
+    avg_dl = avg_doc_len(stats, total)
     dfs = term_df(tbl).cache()
     dfs.count()
     print(f"Serving published index from {args.index_store}: "
           f"{total} documents.")
 
-    def run_query(q: str) -> None:
+    def run_query(q: str) -> float:
         t0 = time.perf_counter()
         with interactive_query_conf(spark):
             top = rank_bm25(tbl, stats, q, total_docs=total, avg_dl=avg_dl,
@@ -188,26 +214,15 @@ def _serve_from_store(args, spark=None) -> int:
                     doc_map.where(F.col("doc_id").isin(
                         [r["doc_id"] for r in top])).collect()}
         print(f"Query processed in {ms:.2f} ms")
-        for rank, r in enumerate(top, 1):
-            print(f"{rank:2d}. doc {r['doc_id']} score={r['score']:.4f} "
-                  f"{urls.get(r['doc_id'], '')}")
-        if not top:
-            print("No results.")
+        _print_hits((r["doc_id"], r["score"], urls.get(r["doc_id"], ""))
+                    for r in top)
+        return ms
 
     if args.query:
         print(f"\nSearching for: {args.query}")
         run_query(args.query)
     if args.interactive:
-        print("Search engine ready for queries.")
-        while True:
-            try:
-                q = input("Enter your search query: ").strip()
-            except EOFError:
-                break
-            if not q or q.lower() in ("exit", "quit"):
-                break
-            print(f"\nSearching for: {q}")
-            run_query(q)
+        _interactive_loop(run_query)
     return 0
 
 
@@ -222,6 +237,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   "combined with -c/-m (publish at crawl time with "
                   "--publish-index)")
             return 2
+        if not (args.query or args.interactive):
+            print("Error: --index-store is serve-only; pass -q QUERY "
+                  "and/or -i")
+            return 2
+        ignored = [flag for flag, val in
+                   (("--workdir", args.workdir),
+                    ("--save-baseline", args.save_baseline),
+                    ("--compare-baseline", args.compare_baseline),
+                    ("--resume", args.resume),
+                    ("--publish-index", args.publish_index))
+                   if val]
+        if ignored:
+            print(f"Warning: {', '.join(ignored)} ignored in "
+                  f"--index-store mode")
         return _serve_from_store(args, spark)
     if not (args.crawl or args.medium):
         build_parser().print_help()
@@ -376,12 +405,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
         from .operators.index import term_df, term_df_map
 
+        from .operators.index import avg_doc_len
+
         t1 = time.perf_counter()
         postings = build_postings(docs).cache()
         stats = build_doc_stats(docs).cache()
         total = stats.count()
-        avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
-                  if total else 0.0)
+        avg_dl = avg_doc_len(stats, total)
         n_postings = postings.count()  # warm the cache; queries reuse it
         dfs = term_df(postings).cache()
         # driver-side {term: df} while the vocab fits (shared contract:
@@ -423,11 +453,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 hits = local_ix.rank(q, top_k=10, fallback=True)
                 ms = (time.perf_counter() - t2) * 1000
                 print(f"Query processed in {ms:.2f} ms")
-                for rank, (d, s) in enumerate(hits, 1):
-                    print(f"{rank:2d}. doc {d} score={s:.4f} "
-                          f"{url_map.get(d, '')}")
-                if not hits:
-                    print("No results.")
+                _print_hits((d, s, url_map.get(d, "")) for d, s in hits)
                 return ms
 
             t2 = time.perf_counter()
@@ -442,28 +468,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          [r["doc_id"] for r in top] or [-1]))
                      .select("doc_id", "url").collect()}
             print(f"Query processed in {ms:.2f} ms")
-            for rank, r in enumerate(top, 1):
-                print(f"{rank:2d}. doc {r['doc_id']} "
-                      f"score={r['score']:.4f} {by_id.get(r['doc_id'], '')}")
-            if not top:
-                print("No results.")
+            _print_hits((r["doc_id"], r["score"],
+                         by_id.get(r["doc_id"], "")) for r in top)
             return ms
 
         if args.query:
             print(f"\nSearching for: {args.query}")
             last_query_ms = run_query(args.query)
         if args.interactive:
-            # main.c:172-184: prompt loop over the warm in-memory index
-            print("Search engine ready for queries.")
-            while True:
-                try:
-                    q = input("Enter your search query: ").strip()
-                except EOFError:
-                    break
-                if not q or q.lower() in ("exit", "quit"):
-                    break
-                print(f"\nSearching for: {q}")
-                last_query_ms = run_query(q)
+            ms = _interactive_loop(run_query)
+            if ms:
+                last_query_ms = ms
     if last_query_ms:
         phase_ms["QueryProcessingTime_ms"] = last_query_ms
     phase_ms["TotalExecutionTime_ms"] = (time.perf_counter() - t0) * 1000

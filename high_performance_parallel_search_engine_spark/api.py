@@ -173,7 +173,7 @@ class EngineState:
         from pyspark.sql import functions as F
 
         from .operators.index import (
-            build_index_tables, term_df, term_df_map,
+            avg_doc_len, build_index_tables, term_df, term_df_map,
         )
 
         if self.index_store is not None:
@@ -199,8 +199,7 @@ class EngineState:
         postings = postings.cache()
         stats = stats.cache()
         total = stats.count()
-        avg_dl = ((stats.groupBy().sum("dl").collect()[0][0] or 0) / total
-                  if total else 0.0)
+        avg_dl = avg_doc_len(stats, total)
         n_postings = postings.count()  # also materializes the cache
         # (term, df) built once per index. Small vocab: collected to a
         # driver-side {term: df} and every warm query is ONE Spark job

@@ -111,6 +111,14 @@ def corpus_stats(docs: DataFrame, **kw) -> DataFrame:
     )
 
 
+def avg_doc_len(stats: DataFrame, total: int) -> float:
+    """Mean document length from a (doc_id, dl) stats table - the BM25
+    avg_dl scalar every serving tier computes once per index."""
+    if not total:
+        return 0.0
+    return (stats.groupBy().sum("dl").collect()[0][0] or 0) / total
+
+
 def term_df(postings: DataFrame) -> DataFrame:
     """(term, df) document frequency (ranking.c:54)."""
     return postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -59,6 +59,20 @@ POSTINGS_COLS_DDL = "term STRING, doc_id BIGINT, tf BIGINT"
 # directory without polluting the postings scan
 DOC_STATS_DIR = "_doc_stats"
 DOC_MAP_DIR = "_doc_map"
+# versioned-store layout (streaming republish): the root holds immutable
+# pv%06d publish dirs plus a CURRENT pointer file naming the live one -
+# a republish never touches files a reader of the old publish holds open
+CURRENT_NAME = "CURRENT"
+
+
+def resolve_store_dir(path: str) -> str:
+    """A store path is either a plain store directory or a versioned root
+    (CURRENT pointer -> live pv dir). Readers call this once per open."""
+    cur = os.path.join(path, CURRENT_NAME)
+    if os.path.isfile(cur):
+        with open(cur) as f:
+            return os.path.join(path, f.read().strip())
+    return path
 
 
 def _pin_bucketed_scan(spark: SparkSession) -> None:
@@ -156,9 +170,11 @@ def publish_store(postings: DataFrame, path: str,
 
 def open_store(spark: SparkSession, path: str, table: str | None = None
                ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
-    """Query-side entry for a published store directory: (postings table,
+    """Query-side entry for a published store directory (plain, or a
+    versioned root - resolved through CURRENT): (postings table,
     doc_stats, doc_map or None) - a fresh session/catalog re-attaches via
     the sidecar DDL, ready for rank_bm25(tbl, stats, query)."""
+    path = resolve_store_dir(path)
     tbl = register_postings_store(spark, path, table=table)
     stats = spark.read.parquet(os.path.join(path, DOC_STATS_DIR))
     map_dir = os.path.join(path, DOC_MAP_DIR)

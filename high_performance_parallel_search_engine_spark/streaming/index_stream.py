@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 from ..operators.index import build_postings, merge_postings
 from ..operators.index_store import (DEFAULT_BUCKETS, DOC_STATS_DIR,  # noqa: F401 (re-export)
                                      MANIFEST_NAME as STORE_MANIFEST_NAME,
-                                     open_store, publish_store)
+                                     open_store, publish_store,
+                                     resolve_store_dir)
 
 DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
 POSTINGS_SCHEMA = "term string, doc_id long, tf long"
@@ -250,8 +251,8 @@ def apply_index_delta(index_root: str, batch_df: DataFrame, batch_id: int,
 
 def publish_current_index(spark: SparkSession, index_root: str,
                           store_path: str, table: str = "postings_store",
-                          buckets: int = DEFAULT_BUCKETS
-                          ) -> tuple[DataFrame, int]:
+                          buckets: int = DEFAULT_BUCKETS,
+                          keep_publishes: int = 2) -> tuple[DataFrame, int]:
     """Publish the CURRENT streaming index version as a self-contained
     queryable snapshot: the postings become a term-bucketed store
     (operators.index_store - BM25 queries then read only the buckets their
@@ -259,13 +260,29 @@ def publish_current_index(spark: SparkSession, index_root: str,
     exactly build_doc_stats' value) are derived in one slim pass and
     written inside the store directory. The store sidecar records which
     index version it was published from, so `store_is_stale` can compare
-    against the live manifest without touching data files. Returns
+    against the live manifest without touching data files.
+
+    store_path is a versioned ROOT: each publish lands in an immutable
+    pv%06d subdirectory and the CURRENT pointer file swings atomically
+    (tmp + rename) after everything in it is written - a serving process
+    scanning the previous publish never has files deleted under it (the
+    last keep_publishes dirs are retained; readers resolve CURRENT once
+    per open via open_store/open_published_index). Returns
     (store table, published version)."""
     postings, version = read_current_postings(spark, index_root)
     if version == 0:
         raise ValueError(f"no index version to publish under {index_root}")
-    tbl = publish_store(postings, store_path, table=table, buckets=buckets,
+    pub = f"pv{version:06d}"
+    tbl = publish_store(postings, os.path.join(store_path, pub),
+                        table=table, buckets=buckets,
                         extra_meta={"index_version": version})
+    tmp = os.path.join(store_path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(pub)
+    os.replace(tmp, os.path.join(store_path, "CURRENT"))
+    pubs = sorted(d for d in os.listdir(store_path) if d.startswith("pv"))
+    for name in pubs[:-max(keep_publishes, 1)]:
+        shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
     return tbl, version
 
 
@@ -281,8 +298,10 @@ def open_published_index(spark: SparkSession, store_path: str,
 
 def published_index_version(store_path: str) -> int:
     """The index version a store was published from (0 if the sidecar
-    predates version tracking)."""
-    with open(os.path.join(store_path, STORE_MANIFEST_NAME)) as f:
+    predates version tracking). Accepts a plain store dir or a versioned
+    root (resolved through CURRENT)."""
+    with open(os.path.join(resolve_store_dir(store_path),
+                           STORE_MANIFEST_NAME)) as f:
         return json.load(f).get("index_version", 0)
 
 
@@ -328,7 +347,14 @@ def maintain_index_from_crawl(spark: SparkSession, workdir: str,
     snapshot into the versioned index as it lands. Rerunnable between (or
     during) crawl sessions - the stream checkpoint remembers which
     snapshot files are already folded, so a drain after N more rounds
-    costs O(those rounds)."""
+    costs O(those rounds).
+
+    Append-only contract: the round snapshots must only ever GROW. A
+    rewind (`run_crawl(resume_from=r)` deletes rounds > r) or an
+    overwrite crawl deletes snapshot files whose documents have no
+    tombstone here - the derived index would keep serving them. After a
+    rewind/overwrite, rebuild: wipe index_root AND this stream's
+    checkpoint, then drain again."""
     return _start_maintenance(
         crawl_docs_stream(spark, workdir, max_files_per_trigger),
         index_root, checkpoint, keep_versions, compact_every)

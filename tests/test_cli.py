@@ -214,3 +214,9 @@ def test_cli_publish_index_then_serve_only(spark, tmp_path, capsys):
 
     # serve-only cannot be combined with a crawl
     assert main(["-c", "x", "--index-store", store]) == 2
+
+
+def test_cli_index_store_requires_query_or_interactive(tmp_path, capsys):
+    rc = main(["--index-store", str(tmp_path / "nope")])
+    out = capsys.readouterr().out
+    assert rc == 2 and "-q" in out and "serve-only" in out

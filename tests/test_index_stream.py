@@ -168,6 +168,15 @@ def test_publish_serves_bm25_from_fresh_catalog_with_pruning(spark,
     _, ver3 = publish_current_index(spark, index_root, store_path,
                                     table="t_pub_store", buckets=16)
     assert ver3 == ver + 1 and not store_is_stale(index_root, store_path)
+    # versioned layout: republish lands in a NEW immutable pv dir and the
+    # CURRENT pointer swings; the previous publish survives the swap so a
+    # serving process scanning it never has files deleted underneath
+    pubs = sorted(d for d in os.listdir(store_path) if d.startswith("pv"))
+    assert pubs == [f"pv{ver:06d}", f"pv{ver3:06d}"]
+    with open(os.path.join(store_path, "CURRENT")) as f:
+        assert f.read().strip() == f"pv{ver3:06d}"
+    store2, _, ver4 = open_published_index(spark, store_path)
+    assert ver4 == ver3  # reader resolves CURRENT to the new publish
 
 
 def test_maintain_index_from_crawl_workdir(spark, tmp_path):
