@@ -213,7 +213,7 @@ def phase_query_warm(spark) -> dict:
         # same); rank_bm25's df_table warm path then skips the per-query
         # df aggregation job
         total = stats.count()
-        avg_dl = (stats.groupBy().sum("dl").collect()[0][0] or 0) / total
+        avg_dl = IX.avg_doc_len(stats, total)
         n_postings = postings.count()
         dfs = IX.term_df(postings).cache()
         # driver-side {term: df} built once at warm-index time, as the

@@ -246,6 +246,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     ("--save-baseline", args.save_baseline),
                     ("--compare-baseline", args.compare_baseline),
                     ("--resume", args.resume),
+                    ("--resume-from", args.resume_from is not None),
+                    ("--overwrite", args.overwrite),
+                    ("--export-warc", args.export_warc),
+                    ("--pages-table", args.pages_table),
+                    ("--pages-warc", args.pages_warc),
+                    ("--robots-table", args.robots_table),
+                    ("--robots-warc", args.robots_warc),
+                    ("--budget", args.budget),
                     ("--publish-index", args.publish_index))
                    if val]
         if ignored:
@@ -403,9 +411,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             or args.publish_index):
         docs = (spark.read.parquet(f"{workdir}/round=*/pages.parquet")
                 .select(F.col("seq").alias("doc_id"), "url", "text"))
-        from .operators.index import term_df, term_df_map
-
-        from .operators.index import avg_doc_len
+        from .operators.index import avg_doc_len, term_df, term_df_map
 
         t1 = time.perf_counter()
         postings = build_postings(docs).cache()

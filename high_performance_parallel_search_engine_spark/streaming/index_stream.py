@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,7 @@ from ..operators.index import build_postings, merge_postings
 from ..operators.index_store import (DEFAULT_BUCKETS, DOC_STATS_DIR,  # noqa: F401 (re-export)
                                      MANIFEST_NAME as STORE_MANIFEST_NAME,
                                      open_store, publish_store,
+                                     register_postings_store,
                                      resolve_store_dir)
 
 DOCS_STREAM_SCHEMA = "doc_id long, text string, warc_ts timestamp"
@@ -273,15 +275,36 @@ def publish_current_index(spark: SparkSession, index_root: str,
     if version == 0:
         raise ValueError(f"no index version to publish under {index_root}")
     pub = f"pv{version:06d}"
+    cur_file = os.path.join(store_path, "CURRENT")
+    if (os.path.isfile(os.path.join(store_path, STORE_MANIFEST_NAME))
+            and not os.path.isfile(cur_file)):
+        raise ValueError(
+            f"{store_path} holds a plain (unversioned) store; publish to "
+            "a fresh root - or keep serving the plain dir via open_store")
+    if os.path.isfile(cur_file):
+        with open(cur_file) as f:
+            if f.read().strip() == pub:
+                # this index version is already the live publish: NEVER
+                # rewrite an immutable pv dir under its readers
+                return (register_postings_store(
+                    spark, os.path.join(store_path, pub), table=table),
+                    version)
     tbl = publish_store(postings, os.path.join(store_path, pub),
                         table=table, buckets=buckets,
                         extra_meta={"index_version": version})
-    tmp = os.path.join(store_path, "CURRENT.tmp")
+    tmp = cur_file + ".tmp"
     with open(tmp, "w") as f:
         f.write(pub)
-    os.replace(tmp, os.path.join(store_path, "CURRENT"))
-    pubs = sorted(d for d in os.listdir(store_path) if d.startswith("pv"))
-    for name in pubs[:-max(keep_publishes, 1)]:
+    os.replace(tmp, cur_file)
+    # retention: the live publish is always kept (a rebuilt index can
+    # legitimately publish a LOWER version than existing dirs), plus the
+    # lexicographically-newest keep_publishes-1 others; name-guarded so a
+    # stray pv* entry is never touched
+    others = sorted(d for d in os.listdir(store_path)
+                    if re.fullmatch(r"pv\d{6}", d) and d != pub)
+    keep_others = max(keep_publishes, 1) - 1
+    doomed = others[:-keep_others] if keep_others else others
+    for name in doomed:
         shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
     return tbl, version
 
@@ -291,9 +314,12 @@ def open_published_index(spark: SparkSession, store_path: str,
                          ) -> tuple[DataFrame, DataFrame, int]:
     """Query-side entry: (postings store table, doc_stats, version) from a
     published store directory - a fresh session/catalog re-attaches via
-    the sidecar DDL, ready for rank_bm25(tbl, stats, query)."""
-    tbl, stats, _ = open_store(spark, store_path, table=table)
-    return tbl, stats, published_index_version(store_path)
+    the sidecar DDL, ready for rank_bm25(tbl, stats, query). CURRENT is
+    resolved exactly ONCE so table, stats and version always come from
+    the same publish even if a republish swings the pointer mid-call."""
+    resolved = resolve_store_dir(store_path)
+    tbl, stats, _ = open_store(spark, resolved, table=table)
+    return tbl, stats, published_index_version(resolved)
 
 
 def published_index_version(store_path: str) -> int:

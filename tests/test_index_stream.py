@@ -369,6 +369,54 @@ def test_stream_drain_in_lsm_mode_equals_rebuild(spark, tmp_path):
         spark, [(1, "alpha REVISED", TS1), (2, "charlie", TS1)])))
 
 
+def test_publish_idempotent_and_rebuild_safe(spark, tmp_path):
+    """Same-version republish is a no-op (an immutable pv dir is never
+    rewritten under readers), and the rebuild workflow - wipe index_root,
+    re-drain, publish a LOWER version - keeps the new publish as CURRENT
+    instead of retention-deleting it."""
+    import shutil as _sh
+
+    root, store = str(tmp_path / "ix"), str(tmp_path / "store")
+    apply_index_delta(root, _docs(spark, [(1, "alpha", TS0)]), 0)
+    apply_index_delta(root, _docs(spark, [(2, "bravo", TS1)]), 1)
+    _, v = publish_current_index(spark, root, store, table="t_pub2",
+                                 buckets=8)
+    assert v == 2
+    marker = os.path.join(store, "pv000002", "_bucketed_store.json")
+    mtime = os.path.getmtime(marker)
+    _, v2 = publish_current_index(spark, root, store, table="t_pub2",
+                                  buckets=8)
+    assert v2 == 2 and os.path.getmtime(marker) == mtime  # untouched
+
+    _sh.rmtree(root)  # operator rebuilds the index from scratch
+    apply_index_delta(root, _docs(spark, [(3, "charlie", TS2)]), 0)
+    _, v3 = publish_current_index(spark, root, store, table="t_pub2",
+                                  buckets=8)
+    assert v3 == 1
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert f.read().strip() == "pv000001"  # NOT retention-deleted
+    assert os.path.isdir(os.path.join(store, "pv000002"))  # kept sibling
+    tbl, _, ver = open_published_index(spark, store, table="t_pub2")
+    assert ver == 1
+    assert _rows(tbl) == _rows(build_postings(_docs(
+        spark, [(3, "charlie", TS2)])))
+
+
+def test_publish_refuses_plain_store_root(spark, tmp_path):
+    """Publishing into a directory that already holds a PLAIN store would
+    orphan the old files under a mixed layout - refused explicitly."""
+    from high_performance_parallel_search_engine_spark.operators.index_store import (
+        publish_store)
+
+    root = str(tmp_path / "ix")
+    apply_index_delta(root, _docs(spark, [(1, "alpha", TS0)]), 0)
+    postings, _ = read_current_postings(spark, root)
+    plain = str(tmp_path / "plain")
+    publish_store(postings, plain, table="t_plain_guard", buckets=4)
+    with pytest.raises(ValueError, match="unversioned"):
+        publish_current_index(spark, root, plain, table="t_plain_guard")
+
+
 def test_retention_keeps_last_versions(spark, tmp_path):
     index_root = str(tmp_path / "index")
     for i in range(4):
