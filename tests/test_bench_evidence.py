@@ -410,3 +410,31 @@ def test_index_store_artifact_is_self_consistent():
     assert abs(rec["value"] - statistics.median(speedups)) < 5e-3
     assert rec["value"] >= 1.2  # the pruned scan wins at 20M postings
     assert rec["n_postings"] > 10_000_000
+
+
+def test_index_maintenance_artifact_is_self_consistent():
+    """bench_index_maintenance.json (LSM vs full-rewrite maintenance I/O)
+    must recompute from its own raw readings: headline = steady full/lsm
+    bytes, totals = per-batch sums, equality asserted before reporting,
+    and LSM's non-compaction small batches each cost a small fraction of
+    a full-mode rewrite."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_index_maintenance.json")
+    rec = json.load(open(path))
+
+    assert rec["read_views_identical"] is True
+    per = rec["bytes_per_batch"]
+    for mode in ("full", "lsm"):
+        assert sum(per[mode]) == rec["total_bytes"][mode]
+        assert sum(per[mode][1:]) == rec["steady_bytes"][mode]
+    assert abs(rec["value"] - rec["steady_bytes"]["full"]
+               / rec["steady_bytes"]["lsm"]) < 5e-2
+    assert rec["value"] >= 2  # the LSM claim at this base/delta ratio
+    # a non-compaction LSM batch writes a small fraction of a full
+    # rewrite (compaction fires when the Kth outstanding delta arrives,
+    # i.e. at batch indices where (i+1) % K == 0)
+    k = rec["compact_every"]
+    seg_batches = [b for i, b in enumerate(per["lsm"][1:], 1)
+                   if (i + 1) % k]
+    full_small = rec["steady_bytes"]["full"] / (len(per["full"]) - 1)
+    assert max(seg_batches) < full_small * 0.25
