@@ -423,6 +423,9 @@ def test_index_maintenance_artifact_is_self_consistent():
     rec = json.load(open(path))
 
     assert rec["read_views_identical"] is True
+    # equality was checked with segments outstanding - the LSM merged
+    # read view, not just the compaction path
+    assert rec["outstanding_deltas_at_check"] > 0
     per = rec["bytes_per_batch"]
     for mode in ("full", "lsm"):
         assert sum(per[mode]) == rec["total_bytes"][mode]

@@ -36,21 +36,23 @@ from high_performance_parallel_search_engine_spark.streaming.index_stream import
 
 BIG = 20_000
 SMALL = 500
-ROUNDS = 11          # the long-crawl shape: 1 big + 11 small rounds
+# the long-crawl shape: 1 big + 13 small rounds. 13 (not a multiple of
+# compact_every) leaves segments OUTSTANDING at the end, so the final
+# equality check exercises the LSM merged read view (latest-segment-wins
+# + base anti-join), not just the compaction path
+ROUNDS = 13
 COMPACT_EVERY = 6
 TOKENS_PER_DOC = 60
 VOCAB = 12_000
 
 
 def synth_batch(spark, start: int, n: int):
-    return (spark.range(start, start + n)
-            .select(F.col("id").alias("doc_id"),
-                    F.expr(
-                        f"array_join(transform(sequence(1, "
-                        f"{TOKENS_PER_DOC}), i -> concat('w', "
-                        f"pmod(xxhash64(doc_id * {TOKENS_PER_DOC} + i), "
-                        f"{VOCAB}))), ' ')").alias("text"),
-                    F.expr("timestamp'2026-01-01'").alias("warc_ts")))
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        hash_docs_df)
+
+    return hash_docs_df(spark, n, start=start,
+                        tokens_per_doc=TOKENS_PER_DOC, vocab=VOCAB) \
+        .withColumn("warc_ts", F.expr("timestamp'2026-01-01'"))
 
 
 def _files(root):
@@ -99,10 +101,18 @@ def main() -> None:
                          "total_bytes": sum(written),
                          "wall_sec": round(sum(walls), 2)}
 
+    # equality must hold with segments OUTSTANDING (the merged read view,
+    # not just the compaction path) - and is checked Spark-side so the
+    # bench scales with the `big` knob instead of collecting the index
+    from high_performance_parallel_search_engine_spark.streaming.index_stream import (
+        read_manifest)
+    outstanding = len(read_manifest(f"{work}/lsm")["deltas"])
+    assert outstanding > 0, \
+        "schedule ended on a compaction; equality would be vacuous"
     a, _ = read_current_postings(spark, f"{work}/full")
     b, _ = read_current_postings(spark, f"{work}/lsm")
-    same = (sorted(map(tuple, a.collect()))
-            == sorted(map(tuple, b.collect())))
+    same = (a.exceptAll(b).limit(1).count() == 0
+            and b.exceptAll(a).limit(1).count() == 0)
     assert same, "LSM read view diverged from full-rewrite mode"
 
     # steady-state economics: bytes per SMALL batch, big batch excluded
@@ -121,6 +131,7 @@ def main() -> None:
         "bytes_per_batch": {m: r["bytes_per_batch"]
                             for m, r in results.items()},
         "read_views_identical": True,
+        "outstanding_deltas_at_check": outstanding,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -52,13 +52,11 @@ QUERIES = ["w101 w2202", "w777 w8080 w15000", "w42 w4242 w424 w2",
 
 
 def synth_docs(spark, n_docs: int):
-    """Deterministic corpus: token i of doc d is w<xxhash64(d*P+i) mod V>.
-    Pure Column expressions — the corpus never exists on the driver."""
-    return (spark.range(n_docs).withColumnRenamed("id", "doc_id")
-            .withColumn("text", F.expr(
-                f"array_join(transform(sequence(1, {TOKENS_PER_DOC}), "
-                f"i -> concat('w', pmod(xxhash64(doc_id * {TOKENS_PER_DOC} "
-                f"+ i), {VOCAB}))), ' ')")))
+    from high_performance_parallel_search_engine_spark.sources.synth import (
+        hash_docs_df)
+
+    return hash_docs_df(spark, n_docs, tokens_per_doc=TOKENS_PER_DOC,
+                        vocab=VOCAB)
 
 
 def _median_wall(fn, reps: int = REPS) -> float:
