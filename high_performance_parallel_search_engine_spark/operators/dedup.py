@@ -66,7 +66,12 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     toked = docs.select(F.col(id_col).alias("doc_id"),
                         tokens_simple_col(F.col(text_col)).alias("_toks"))
     n = F.size(F.col("_toks"))
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # a doc with fewer than k tokens has NO shingles (the DuckDB oracle's
+    # lead()-NULL semantics). The guard matters: sequence(1, 0) is the
+    # DESCENDING array [1, 0] in Spark, and slice(_, 0, k) throws - so an
+    # unguarded short doc crashed the whole shingle stage
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx,
                      lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
     return (toked.select("doc_id", F.explode(sh).alias("shingle"))
