@@ -24,11 +24,11 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import (_int_l2, _ivf_assign_full, int_dot, ivf_centroids,
-                         quant_col)
+from .similarity import (_ivf_assign_full, ivf_centroids, probe_lists,
+                         quant_col, score_probed_topk)
 
 MANIFEST_NAME = "_ivf_store.json"
 
@@ -65,30 +65,29 @@ def open_ivf_store(spark: SparkSession, path: str
 
 def ivf_store_topk(spark: SparkSession, path: str,
                    queries: list[tuple[int, list[float]]], k: int = 5,
-                   nprobe: int = 4) -> DataFrame:
-    """Top-k ANN over a saved store: (query_id, neighbor_id, cos, rk),
-    identical semantics to similarity.ivf_topk (self-matches excluded,
-    (cos desc, neighbor asc) ordering, cos rounded to 6) - but the corpus
-    side reads only the probed `list_id=` partitions, and the query
-    vectors arrive as values (no source corpus needed).
+                   nprobe: int = 4,
+                   exclude_matching_ids: bool = True) -> DataFrame:
+    """Top-k ANN over a saved store: (query_id, neighbor_id, cos, rk) -
+    the corpus side reads only the probed `list_id=` partitions, and the
+    query vectors arrive as values (no source corpus needed).
 
-    Quantization and probe selection run as Spark expressions over the
-    broadcast sidecar matrix - the same expressions the save-side
-    assignment used - so store answers are bit-identical to the
-    in-memory operator's."""
+    Probe selection and scoring are similarity.probe_lists /
+    score_probed_topk - the SAME code ivf_topk runs, which is what makes
+    store answers bit-identical to the in-memory operator (not two
+    copies that happen to agree).
+
+    exclude_matching_ids: ivf_topk's self-match exclusion compares
+    query_id against stored vec_ids. Keep it True when your query ids
+    ARE corpus ids (parity/re-ranking); set False when query ids are
+    arbitrary caller labels, or a label colliding with a real vec_id
+    would silently drop that true neighbor."""
     store, meta = open_ivf_store(spark, path)
     cdf = F.broadcast(spark.createDataFrame(
         [(j, c) for j, c in enumerate(meta["centroids"])],
         "list_id int, cent array<bigint>"))
     q = spark.createDataFrame(queries, "query_id long, emb array<double>") \
         .select("query_id", quant_col(F.col("emb")).alias("qv"))
-    probes = (q.crossJoin(cdf)
-              .withColumn("_d", _int_l2(F.col("qv"), F.col("cent")))
-              .withColumn("_r", F.row_number().over(
-                  Window.partitionBy("query_id")
-                  .orderBy(F.asc("_d"), F.asc("list_id"))))
-              .where(F.col("_r") <= nprobe)
-              .select("query_id", "qv", "list_id"))
+    probes = probe_lists(q, cdf, nprobe)
     # the probed list ids must be literals for partition pruning: |Q| x
     # nprobe rows cross the driver, never vectors
     probe_ids = sorted({r["list_id"] for r in
@@ -96,14 +95,5 @@ def ivf_store_topk(spark: SparkSession, path: str,
     pruned = (store.where(F.col("list_id").isin(probe_ids))
               .select(F.col("vec_id").alias("neighbor_id"),
                       F.col("v").alias("cv"), "list_id"))
-    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
-    scored = (F.broadcast(probes).join(pruned, "list_id")
-              .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", F.round(dot / (nq * nc), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos", "rk"))
+    return score_probed_topk(probes, pruned, k,
+                             exclude_matching_ids=exclude_matching_ids)

@@ -51,7 +51,10 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     once per shingle position - measured 6x on the sf0.1 corpus)."""
     toks = tokens_simple_col(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # same short-input guard as doc_shingles: sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark and slice(_, 0, k) throws
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 

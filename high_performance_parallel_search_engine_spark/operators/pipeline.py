@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (LSH_BANDS, NUM_PERM, connected_components, dedup_survivors,
-                    exact_dedup, minhash_lsh_pairs)
+                    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs)
 from .textstats import fingerprint, lang_id, quality_score, token_counts
 
 
@@ -45,6 +45,14 @@ class DistillConfig:
     near_dup: bool = True
     num_perm: int = NUM_PERM
     bands: int = LSH_BANDS
+    # LSH emits CANDIDATE pairs (any shared band bucket) - a Jaccard-0.4
+    # pair still collides in >=1 of 4 bands with ~23% probability.
+    # min_bands >= 2 demands band agreement (steep precision gain);
+    # jaccard_verify additionally recomputes EXACT shingle Jaccard over
+    # the candidate-pair members only (a slim subset, never the corpus)
+    # and keeps edges at/above the threshold
+    min_bands: int = 2
+    jaccard_verify: float | None = None
 
 
 def distill_corpus(docs: DataFrame, config: DistillConfig = DistillConfig(),
@@ -59,7 +67,12 @@ def distill_corpus(docs: DataFrame, config: DistillConfig = DistillConfig(),
     cur = docs
 
     def note(name: str) -> None:
+        # checkpoint at each counted boundary: without it every count()
+        # (and the caller's final write) re-runs all prior stages - O(N
+        # stages) corpus passes instead of one
+        nonlocal cur
         if count_stages:
+            cur = cur.localCheckpoint()
             stages[name] = cur.count()
 
     note("input")
@@ -84,9 +97,22 @@ def distill_corpus(docs: DataFrame, config: DistillConfig = DistillConfig(),
         pairs = minhash_lsh_pairs(cur, id_col, text_col,
                                   num_perm=config.num_perm,
                                   bands=config.bands)
+        if config.min_bands > 1:
+            pairs = pairs.where(F.col("n_bands") >= config.min_bands)
+        if config.jaccard_verify is not None:
+            members = (pairs.select(F.col("doc_a").alias(id_col))
+                       .union(pairs.select(F.col("doc_b").alias(id_col)))
+                       .distinct())
+            verified = ngram_jaccard_pairs(
+                cur.join(members, id_col), id_col, text_col,
+                threshold=config.jaccard_verify)
+            pairs = pairs.join(verified.select("doc_a", "doc_b"),
+                               ["doc_a", "doc_b"], "left_semi")
         comps = connected_components(
             pairs, cur.select(F.col(id_col).alias("doc_id")))
-        cur = dedup_survivors(cur, comps, id_col)
+        cur = dedup_survivors(cur,
+                              comps.withColumnRenamed("doc_id", id_col),
+                              id_col)
         note("near_dup")
     ann = (token_counts(cur, id_col, text_col)
            .join(fingerprint(cur, id_col, text_col), "doc_id")

@@ -276,6 +276,42 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
                             seed, centroids).select("vec_id", "list_id")
 
 
+def probe_lists(q: DataFrame, cdf: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, qv, list_id): each query's nprobe nearest coarse lists
+    by exact integer L2 with the deterministic (_d, list_id) tie-break.
+    q = (query_id, qv quantized); cdf = broadcast (list_id, cent).
+    Shared by ivf_topk and the persisted ann_store so probe selection
+    stays bit-identical across both."""
+    return (q.crossJoin(cdf)
+            .withColumn("_d", _int_l2(F.col("qv"), F.col("cent")))
+            .withColumn("_r", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.asc("_d"), F.asc("list_id"))))
+            .where(F.col("_r") <= nprobe)
+            .select("query_id", "qv", "list_id"))
+
+
+def score_probed_topk(probes: DataFrame, assigned: DataFrame, k: int,
+                      exclude_matching_ids: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, cos, rk): exact quantized cosine within the
+    probed lists, per-query top-k with (cos desc, neighbor asc) ordering;
+    the tiny probes table broadcasts into the list join. Shared scoring
+    tail of ivf_topk and ann_store.ivf_store_topk - the bit-parity
+    contract between them lives HERE, not in two copies."""
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = F.broadcast(probes).join(assigned, "list_id")
+    if exclude_matching_ids:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn("cos", F.round(dot / (nq * nc), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rk"))
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -305,24 +341,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     q = (embeddings.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
                  quant_col(F.col(vec_col)).alias("qv")))
-    probes = (q.crossJoin(cdf)
-              .withColumn("_d", _int_l2(F.col("qv"), F.col("cent")))
-              .withColumn("_r", F.row_number().over(
-                  Window.partitionBy("query_id")
-                  .orderBy(F.asc("_d"), F.asc("list_id"))))
-              .where(F.col("_r") <= nprobe)
-              .select("query_id", "qv", "list_id"))
-    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
-    scored = (F.broadcast(probes).join(assigned, "list_id")
-              .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", F.round(dot / (nq * nc), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos", "rk"))
+    return score_probed_topk(probe_lists(q, cdf, nprobe), assigned, k)
 
 
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,

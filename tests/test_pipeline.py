@@ -67,3 +67,22 @@ def test_distill_lazy_without_counts(corpus):
     clean, stages = distill_corpus(corpus)  # no count actions requested
     assert stages == {}
     assert clean.count() == 2
+
+
+def test_distill_custom_id_col(spark):
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR),
+         (3, "the small map of a road and the old bridge is here")],
+        "page_id long, text string")
+    clean, _ = distill_corpus(docs, id_col="page_id")
+    assert {r["page_id"] for r in clean.collect()} == {0, 3}
+
+
+def test_distill_jaccard_verified_edges(corpus):
+    """jaccard_verify recomputes exact shingle Jaccard over candidate
+    members only; the one-word near-dup clears 0.8, so survivors are
+    unchanged - and a sky-high threshold re-admits it."""
+    clean, _ = distill_corpus(corpus, DistillConfig(jaccard_verify=0.8))
+    assert {r["doc_id"] for r in clean.collect()} == {0, 3}
+    clean, _ = distill_corpus(corpus, DistillConfig(jaccard_verify=0.999))
+    assert {r["doc_id"] for r in clean.collect()} == {0, 2, 3}
