@@ -125,3 +125,57 @@ def url_seen_tracker(urls_stream: DataFrame,
         track, outputStructType=SEEN_OUT_SCHEMA,
         stateStructType=SEEN_STATE_SCHEMA,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+CONTENT_OUT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+])
+
+CONTENT_STATE_SCHEMA = StructType([
+    StructField("seen", BinaryType()),  # packed 16-byte md5 digests
+])
+
+
+def content_seen_tracker(docs_stream: DataFrame,
+                         n_shards: int = 64) -> DataFrame:
+    """Streaming exact-content dedup with state ACROSS micro-batches: the
+    FIRST document carrying each md5(text) digest passes, every later
+    copy is dropped - the streaming form of operators.dedup.exact_dedup,
+    keyed by the SAME digest, so batch and streaming agree on what "exact
+    duplicate" means. Unlike the url tracker's derived keys, the state
+    record IS the full 16-byte content digest - no second hash, no false
+    drops beyond md5 collision itself.
+
+    Within one micro-batch the min-doc_id copy wins (rows fold in doc_id
+    order), matching exact_dedup's min-id survivor rule; across batches
+    arrival order decides, which is exactly the semantics a continuous
+    ingest wants (the copy you already emitted IS the survivor). State
+    shards by a hash of the digest: 16 bytes/unique-document, sliced
+    across n_shards groups - raise n_shards at 10^10 docs so each
+    shard's blob stays executor-sized."""
+
+    def track(key: Tuple[int], batches: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        (blob,) = state.get if state.exists else (b"",)
+        blob = bytes(blob or b"")
+        seen = {blob[i:i + 16] for i in range(0, len(blob), 16)}
+        fresh, new = [], []
+        for pdf in batches:
+            pdf = pdf.sort_values("doc_id")  # min-id wins inside a batch
+            for did, dig in zip(pdf["doc_id"], pdf["_digest"]):
+                d = bytes(dig)
+                if d not in seen:
+                    seen.add(d)
+                    new.append(d)
+                    fresh.append(int(did))
+        state.update((blob + b"".join(new),))
+        yield pd.DataFrame({"doc_id": fresh})
+
+    keyed = docs_stream.select(
+        "doc_id", F.unhex(F.md5("text")).alias("_digest"),
+        F.pmod(F.xxhash64(F.md5("text")), F.lit(n_shards))
+        .cast("int").alias("_shard"))
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        track, outputStructType=CONTENT_OUT_SCHEMA,
+        stateStructType=CONTENT_STATE_SCHEMA,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -421,3 +421,39 @@ def test_png_resize_real_and_seam_wiring(spark):
            for r in resized.collect()}
     assert set(got) == {3, 7, 11, 15}
     assert all(v[0] == 3 and v[1] == 2 for v in got.values())
+
+
+def test_stateful_content_seen_tracker_dedups_across_batches(spark,
+                                                             tmp_path):
+    """Streaming exact-content dedup: first copy of each md5(text) ever
+    passes (min doc_id inside a batch), repeats drop across batches; the
+    state blob is exactly 16 bytes per unique document."""
+    from high_performance_parallel_search_engine_spark.streaming.stateful import (
+        content_seen_tracker,
+    )
+
+    src = str(tmp_path / "docs")
+    b1 = [(3, "alpha text"), (1, "alpha text"), (2, "bravo text")]
+    b2 = [(4, "alpha text"), (5, "charlie text"), (6, "bravo text")]
+    spark.createDataFrame(b1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(src + "/d")
+    spark.createDataFrame(b2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src + "/d")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/d"))
+    out = content_seen_tracker(stream, n_shards=4)
+    q = (out.writeStream.format("memory").queryName("content_track")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck_content"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in
+                 spark.sql("select doc_id from content_track").collect())
+    # batch 1: alpha survives as doc 1 (min id), bravo as doc 2;
+    # batch 2: only charlie (5) is new content
+    assert got == [1, 2, 5]
+
+    state = (spark.read.format("statestore")
+             .load(str(tmp_path / "ck_content"))
+             .select("value.groupState.seen").collect())
+    assert sum(len(bytes(r["seen"])) for r in state) == 16 * 3
