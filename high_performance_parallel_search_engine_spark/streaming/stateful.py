@@ -74,6 +74,23 @@ SEEN_STATE_SCHEMA = StructType([
 ])
 
 
+def _load_seen(state: GroupState) -> tuple[bytes, set]:
+    """(blob, set of 16-byte records) from a tracker's packed state -
+    shared by url_seen_tracker and content_seen_tracker so the state
+    encoding cannot drift between them."""
+    (blob,) = state.get if state.exists else (b"",)
+    blob = bytes(blob or b"")
+    return blob, {blob[i:i + 16] for i in range(0, len(blob), 16)}
+
+
+def _save_seen(state: GroupState, blob: bytes, new: list) -> None:
+    """Append-only state write, SKIPPED when nothing new arrived - a
+    steady stream of duplicates must not rewrite each shard's whole blob
+    into the state store every batch."""
+    if new:
+        state.update((blob + b"".join(new),))
+
+
 def _url_key(url: str, h: int) -> bytes:
     """16-byte state record: the shard-routing xxhash64 (8 bytes) + an
     INDEPENDENT 8-byte blake2b of the url. A false drop now needs two
@@ -103,9 +120,7 @@ def url_seen_tracker(urls_stream: DataFrame,
 
     def track(key: Tuple[int], batches: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
-        (blob,) = state.get if state.exists else (b"",)
-        blob = bytes(blob or b"")
-        seen = {blob[i:i + 16] for i in range(0, len(blob), 16)}
+        blob, seen = _load_seen(state)
         fresh = []
         new_keys = []
         for pdf in batches:
@@ -115,7 +130,7 @@ def url_seen_tracker(urls_stream: DataFrame,
                     seen.add(k)
                     new_keys.append(k)
                     fresh.append(url)
-        state.update((blob + b"".join(new_keys),))
+        _save_seen(state, blob, new_keys)
         yield pd.DataFrame({"url": fresh})
 
     keyed = urls_stream.select(
@@ -156,25 +171,36 @@ def content_seen_tracker(docs_stream: DataFrame,
 
     def track(key: Tuple[int], batches: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
-        (blob,) = state.get if state.exists else (b"",)
-        blob = bytes(blob or b"")
-        seen = {blob[i:i + 16] for i in range(0, len(blob), 16)}
+        blob, seen = _load_seen(state)
+        # concatenate the Arrow chunks FIRST: a shard group larger than
+        # maxRecordsPerBatch arrives as several chunks, and a per-chunk
+        # sort would let an earlier chunk's copy beat a lower doc_id in a
+        # later one - breaking the min-id survivor rule
+        chunks = list(batches)
         fresh, new = [], []
-        for pdf in batches:
-            pdf = pdf.sort_values("doc_id")  # min-id wins inside a batch
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values("doc_id")
             for did, dig in zip(pdf["doc_id"], pdf["_digest"]):
                 d = bytes(dig)
                 if d not in seen:
                     seen.add(d)
                     new.append(d)
                     fresh.append(int(did))
-        state.update((blob + b"".join(new),))
+        _save_seen(state, blob, new)
         yield pd.DataFrame({"doc_id": fresh})
 
-    keyed = docs_stream.select(
-        "doc_id", F.unhex(F.md5("text")).alias("_digest"),
-        F.pmod(F.xxhash64(F.md5("text")), F.lit(n_shards))
-        .cast("int").alias("_shard"))
+    # null text mirrors exact_dedup: md5(NULL) is NULL there, so every
+    # null-text doc lands in ONE group - here a sentinel record no real
+    # md5 collides with. _shard derives from the already-computed digest
+    # (two-step select), so the body is hashed exactly once per row
+    keyed = (docs_stream.select(
+                 "doc_id",
+                 F.when(F.col("text").isNull(), F.lit(b"\x00" * 16))
+                 .otherwise(F.unhex(F.md5("text"))).alias("_digest"))
+             .select("doc_id", "_digest",
+                     F.pmod(F.xxhash64("_digest"), F.lit(n_shards))
+                     .cast("int").alias("_shard")))
     return keyed.groupBy("_shard").applyInPandasWithState(
         track, outputStructType=CONTENT_OUT_SCHEMA,
         stateStructType=CONTENT_STATE_SCHEMA,
