@@ -1,0 +1,98 @@
+"""Positional postings + phrase search (operators/phrase.py).
+
+Invariants:
+- the positional table is a strict superset of build_postings: dropping
+  positions reproduces (term, doc_id, tf) exactly,
+- phrase_match agrees with an independent pure-Python oracle over the
+  same kept-token stream (adjacency in the filtered stream, occurrence
+  counts included, overlapping occurrences, repeated-term phrases),
+- rank_bm25_phrase scores only phrase-matching docs with the ranking.py
+  BM25 (k1/b/idf) and deterministic ordering,
+- stopword-only phrases are rejected.
+"""
+
+import pytest
+
+from high_performance_parallel_search_engine_spark.kernel.text import tokenize
+from high_performance_parallel_search_engine_spark.operators.index import (
+    build_index_tables, build_postings)
+from high_performance_parallel_search_engine_spark.operators.phrase import (
+    build_positional_postings, phrase_match, phrase_terms, rank_bm25_phrase)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown fox and another quick brown fox appear"),
+    (2, "brown quick fox is not the phrase order"),
+    (3, "quick brown cat then quick brown fox at the end"),
+    (4, "totally unrelated words here"),
+    (5, "fox fox fox fox"),                     # repeated-term phrases
+    (6, "quick brown"),                          # prefix only, no fox
+]
+
+
+def _oracle_phrase(docs, phrase):
+    """Occurrences of the phrase's kept-token sequence in each doc's
+    kept-token stream - the independent reference implementation."""
+    want = tokenize(phrase)
+    out = {}
+    for did, text in docs:
+        toks = tokenize(text)
+        n = sum(1 for i in range(len(toks) - len(want) + 1)
+                if toks[i:i + len(want)] == want)
+        if n:
+            out[did] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pos = build_positional_postings(docs).cache()
+    pos.count()
+    return docs, pos
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_positional_projects_to_bag_of_words(spark, pos_index):
+    docs, pos = pos_index
+    assert _rows(pos.select("term", "doc_id", "tf")) == \
+        _rows(build_postings(docs))
+
+
+@pytest.mark.parametrize("phrase", [
+    "quick brown fox",       # multi-occurrence in doc 1
+    "brown fox",
+    "fox fox",               # overlapping repeated term: 3 in doc 5
+    "the lazy dog",          # stopword-filtered adjacency
+    "quick brown cat",
+    "no such phrase here at all",
+])
+def test_phrase_match_agrees_with_oracle(spark, pos_index, phrase):
+    _, pos = pos_index
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_match(pos, phrase).collect()}
+    assert got == _oracle_phrase(DOCS, phrase)
+
+
+def test_phrase_rejects_stopword_only(pos_index):
+    _, pos = pos_index
+    assert phrase_terms("the of a") == []
+    with pytest.raises(ValueError):
+        phrase_match(pos, "the of a")
+
+
+def test_rank_bm25_phrase_scores_only_matches(spark, pos_index):
+    docs, pos = pos_index
+    _, stats = build_index_tables(docs)
+    top = rank_bm25_phrase(pos, stats, "quick brown fox", top_k=10)
+    rows = top.collect()
+    match_ids = set(_oracle_phrase(DOCS, "quick brown fox"))
+    assert {r["doc_id"] for r in rows} == match_ids
+    # doc 1 has the phrase twice and higher tf on every term: top rank
+    assert rows[0]["doc_id"] == 1 and rows[0]["n_occurrences"] == 2
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] > 0 for r in rows)
