@@ -96,3 +96,18 @@ def test_rank_bm25_phrase_scores_only_matches(spark, pos_index):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_phrase_term_filters_reach_parquet_scan(spark, tmp_path):
+    """Each phrase term's scan pushes its EqualTo(term) into parquet -
+    the phrase join never reads the whole positional index."""
+    from high_performance_parallel_search_engine_spark.plans.lineage import (
+        explain_text)
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = str(tmp_path / "pos")
+    build_positional_postings(docs).write.parquet(p)
+    pos = spark.read.parquet(p)
+    plan = explain_text(phrase_match(pos, "quick brown fox"), "formatted")
+    assert "PushedFilters" in plan
+    assert plan.count("EqualTo(term,") >= 3  # one pruned scan per term
