@@ -451,8 +451,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                           doc_map=docs.select("doc_id", "url"))
             print(f"Published bucketed index store to {args.publish_index}")
 
+        pos_holder: list = []  # lazy positional index for phrase queries
+
         def run_query(q: str) -> float:
             from .operators.ranking import interactive_query_conf
+
+            from .operators.phrase import as_quoted_phrase
+
+            phrase = as_quoted_phrase(q)
+            if phrase is not None:
+                # quoted query -> exact phrase match over the lazily-built
+                # positional index (built once, reused by later phrases)
+                from .operators.phrase import (build_positional_postings,
+                                               rank_bm25_phrase)
+
+                if not pos_holder:
+                    pos_holder.append(build_positional_postings(
+                        docs.select("doc_id", "text")).cache())
+                    pos_holder[0].count()
+                t2 = time.perf_counter()
+                with interactive_query_conf(spark):
+                    top = rank_bm25_phrase(
+                        pos_holder[0], stats, phrase, total_docs=total,
+                        avg_dl=avg_dl, top_k=10).collect()
+                    by_id = {r["doc_id"]: r["url"]
+                             for r in docs.where(F.col("doc_id").isin(
+                                 [r["doc_id"] for r in top] or [-1]))
+                             .select("doc_id", "url").collect()}
+                ms = (time.perf_counter() - t2) * 1000
+                print(f"Query processed in {ms:.2f} ms")
+                _print_hits((r["doc_id"], r["score"],
+                             by_id.get(r["doc_id"], "")) for r in top)
+                return ms
 
             if local_ix is not None:
                 t2 = time.perf_counter()

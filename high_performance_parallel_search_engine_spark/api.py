@@ -263,7 +263,36 @@ class EngineState:
                 self._index["stats"].unpersist()
                 self._index["urls"].unpersist()
                 self._index["term_df"].unpersist()
+                if self._index.get("pos") is not None:
+                    self._index["pos"].unpersist()
             self._index = None
+
+    def _positional(self, ix):
+        """Lazy positional index for phrase queries: built and cached on
+        FIRST use (a second tokenize pass over the workdir docs - most
+        serving sessions never pay it), shared by later phrase queries
+        until invalidate()."""
+        from pyspark.sql import functions as F
+
+        from .operators.phrase import build_positional_postings
+
+        with self._lock:
+            if self._index is not ix:
+                raise RuntimeError("index invalidated during phrase query")
+            if ix.get("pos") is None:
+                docs = (self.spark.read
+                        .parquet(f"{self.workdir}/round=*/pages.parquet")
+                        .select(F.col("seq").alias("doc_id"), "text"))
+                pos = build_positional_postings(docs).cache()
+                pos.count()
+                ix["pos"] = pos
+            return ix["pos"]
+
+    @staticmethod
+    def _as_phrase(query: str) -> str | None:
+        from .operators.phrase import as_quoted_phrase
+
+        return as_quoted_phrase(query)
 
     # ---- endpoint logic -----------------------------------------------
 
@@ -329,9 +358,53 @@ class EngineState:
                              "score": round(r["score"], 4)} for r in rows]}
 
     def search(self, query: str, limit: int = 10) -> dict:
+        phrase = self._as_phrase(query)
+        if phrase is not None:
+            return self._search_phrase(phrase, limit)
         ix = self._acquire_index()
         try:
             return self._search_with(ix, query, limit, fallback=True)
+        finally:
+            self._release_index()
+
+    def _search_phrase(self, phrase: str, limit: int) -> dict:
+        """Quoted-query path: exact phrase match over the lazily-built
+        positional index, BM25-ranked (operators.phrase). Store-backed
+        servers cannot serve it - the published store carries no
+        positions or text."""
+        from pyspark.sql import functions as F
+
+        from .operators.phrase import phrase_terms, rank_bm25_phrase
+        from .operators.ranking import interactive_query_conf
+
+        if self.index_store is not None:
+            return {"status": "error", "_code": 400,
+                    "error": "phrase search needs a crawl workdir (the "
+                             "published store has no positions)"}
+        if not phrase_terms(phrase):
+            return {"status": "error", "_code": 400,
+                    "error": "phrase has no indexable terms"}
+        ix = self._acquire_index()
+        try:
+            pos = self._positional(ix)
+            t0 = time.perf_counter()
+            with interactive_query_conf(self.spark):
+                top = rank_bm25_phrase(
+                    pos, ix["stats"], phrase, total_docs=ix["total"],
+                    avg_dl=ix["avg_dl"], top_k=limit).collect()
+                urls = {}
+                if top:
+                    urls = {r["doc_id"]: r["url"] for r in
+                            ix["urls"].where(F.col("doc_id").isin(
+                                [t["doc_id"] for t in top])).collect()}
+            ms = (time.perf_counter() - t0) * 1000
+            return {"status": "ok", "query": f'"{phrase}"', "phrase": True,
+                    "query_time_ms": round(ms, 2),
+                    "results": [{"doc_id": r["doc_id"],
+                                 "url": urls.get(r["doc_id"], ""),
+                                 "score": round(r["score"], 4),
+                                 "n_occurrences": r["n_occurrences"]}
+                                for r in top]}
         finally:
             self._release_index()
 

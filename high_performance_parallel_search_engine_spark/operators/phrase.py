@@ -51,6 +51,16 @@ def build_positional_postings(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("tf", F.size("positions").cast("long")))
 
 
+def as_quoted_phrase(query: str) -> str | None:
+    """'"quick brown fox"' -> 'quick brown fox'; None for plain queries.
+    The classic quoted-phrase syntax, shared by the CLI prompt and the
+    dashboard /api/search."""
+    q = query.strip()
+    if len(q) > 2 and q.startswith('"') and q.endswith('"'):
+        return q[1:-1]
+    return None
+
+
 def phrase_terms(phrase: str, stopwords=DEFAULT_STOPWORDS) -> list[str]:
     """The phrase's kept-token sequence via the SAME tokenizer the index
     ran (kernel.text.tokenize == tokens_col semantics: split, lower,

@@ -96,6 +96,27 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         code, berr = _post(port, "/api/search", {"queries": []})
         assert code == 400 and berr["status"] == "error"
 
+        # quoted query -> exact phrase search over the lazily-built
+        # positional index (round 5): take two consecutive kept tokens
+        # from a crawled page so the phrase provably exists
+        from high_performance_parallel_search_engine_spark.kernel.text import (
+            tokenize)
+        txt = (spark.read.parquet(str(tmp_path / "wd") +
+                                  "/round=*/pages.parquet")
+               .select("text").limit(1).collect()[0]["text"])
+        toks = tokenize(txt)
+        phrase = f'"{toks[0]} {toks[1]}"'
+        code, ph = _post(port, "/api/search", {"query": phrase, "limit": 5})
+        assert code == 200 and ph["status"] == "ok" and ph["phrase"] is True
+        assert ph["results"] and ph["results"][0]["n_occurrences"] >= 1
+        assert ph["results"][0]["url"].startswith("https://")
+        # a scrambled non-adjacent pair matches fewer (or no) docs
+        code, ph2 = _post(port, "/api/search",
+                          {"query": f'"{toks[1]} {toks[0]}"', "limit": 5})
+        assert code == 200 and len(ph2["results"]) <= len(ph["results"])
+        code, pherr = _post(port, "/api/search", {"query": '"the of a"'})
+        assert code == 400 and "indexable" in pherr["error"]
+
         # validation envelope mirrors the reference's 400s
         code, err = _post(port, "/api/search", {})
         assert code == 400 and err["status"] == "error"
@@ -306,6 +327,10 @@ def test_api_store_backed_serving(spark, tmp_path):
         code, cr = _post(port, "/api/crawl",
                          {"start_url": "https://host0.example.com/p/0"})
         assert code == 400 and "read-only" in cr["error"]
+
+        # phrase search needs positions/text - not in the store
+        code, sp = _post(port, "/api/search", {"query": '"any phrase"'})
+        assert code == 400 and "positions" in sp["error"]
     finally:
         srv.shutdown()
 

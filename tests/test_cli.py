@@ -220,3 +220,25 @@ def test_cli_index_store_requires_query_or_interactive(tmp_path, capsys):
     rc = main(["--index-store", str(tmp_path / "nope")])
     out = capsys.readouterr().out
     assert rc == 2 and "-q" in out and "serve-only" in out
+
+
+def test_cli_quoted_phrase_query(spark, tmp_path, capsys):
+    """A quoted -q runs exact phrase search over the crawl's positional
+    index; the phrase is taken from a crawled page so it provably
+    exists."""
+    wd = str(tmp_path / "w")
+    assert main(["-c", "https://host0.example.com/p/0", "-d", "2", "-p",
+                 "12", "--workdir", wd]) == 0
+    capsys.readouterr()
+
+    from high_performance_parallel_search_engine_spark.kernel.text import (
+        tokenize)
+    txt = (spark.read.parquet(wd + "/round=*/pages.parquet")
+           .select("text").limit(1).collect()[0]["text"])
+    toks = tokenize(txt)
+    rc = main(["-c", "https://host0.example.com/p/0", "--workdir", wd,
+               "--resume", "-q", f'"{toks[0]} {toks[1]}"'])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Query processed in" in out
+    assert ". doc " in out  # at least one phrase hit ranked
