@@ -203,6 +203,13 @@ def _serve_from_store(args, spark=None) -> int:
           f"{total} documents.")
 
     def run_query(q: str) -> float:
+        from .operators.phrase import as_quoted_phrase
+
+        if as_quoted_phrase(q) is not None:
+            # the API's store-backed server 400s this for the same reason
+            print("Error: phrase search needs a crawl workdir (the "
+                  "published store has no positions)")
+            return 0.0
         t0 = time.perf_counter()
         with interactive_query_conf(spark):
             top = rank_bm25(tbl, stats, q, total_docs=total, avg_dl=avg_dl,
@@ -463,8 +470,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # quoted query -> exact phrase match over the lazily-built
                 # positional index (built once, reused by later phrases)
                 from .operators.phrase import (build_positional_postings,
+                                               phrase_terms,
                                                rank_bm25_phrase)
 
+                if not phrase_terms(phrase):
+                    print("Error: phrase has no indexable terms")
+                    return 0.0
                 if not pos_holder:
                     pos_holder.append(build_positional_postings(
                         docs.select("doc_id", "text")).cache())

@@ -271,21 +271,30 @@ class EngineState:
         """Lazy positional index for phrase queries: built and cached on
         FIRST use (a second tokenize pass over the workdir docs - most
         serving sessions never pay it), shared by later phrase queries
-        until invalidate()."""
+        until invalidate(). The BUILD runs outside `_lock` (the class's
+        run-Spark-outside-the-lock rule: a cold phrase query must not
+        stall every concurrent search); only the publish step takes the
+        lock, and the caller's reader count keeps ix alive meanwhile. Two
+        racing first-phrase queries may both build; the loser unpersists
+        its copy."""
         from pyspark.sql import functions as F
 
         from .operators.phrase import build_positional_postings
 
         with self._lock:
-            if self._index is not ix:
-                raise RuntimeError("index invalidated during phrase query")
+            pos = ix.get("pos")
+        if pos is not None:
+            return pos
+        docs = (self.spark.read
+                .parquet(f"{self.workdir}/round=*/pages.parquet")
+                .select(F.col("seq").alias("doc_id"), "text"))
+        built = build_positional_postings(docs).cache()
+        built.count()
+        with self._lock:
             if ix.get("pos") is None:
-                docs = (self.spark.read
-                        .parquet(f"{self.workdir}/round=*/pages.parquet")
-                        .select(F.col("seq").alias("doc_id"), "text"))
-                pos = build_positional_postings(docs).cache()
-                pos.count()
-                ix["pos"] = pos
+                ix["pos"] = built
+            else:
+                built.unpersist()  # lost the build race
             return ix["pos"]
 
     @staticmethod
@@ -418,6 +427,13 @@ class EngineState:
 
         from .operators.ranking import interactive_query_conf, rank_bm25_batch
 
+        # quoted-phrase form is a single-query feature: reject instead of
+        # silently degrading to bag-of-words (the quotes are tokenizer
+        # delimiters and would vanish without a trace)
+        if any(self._as_phrase(q) is not None for q in queries):
+            return {"status": "error", "_code": 400,
+                    "error": "phrase queries are not supported in batch "
+                             "form; send them through single search"}
         ix = self._acquire_index()
         try:
             if ix["local"] is not None:
@@ -478,6 +494,10 @@ class EngineState:
         results + timings side by side plus a diff envelope. Versions are
         normalized lowercase and de-duplicated (['Serial','serial'] is one
         run, keyed 'serial', matching the reference's canonical names)."""
+        if self._as_phrase(query) is not None:
+            return {"status": "error", "_code": 400,
+                    "error": "phrase queries are not supported in "
+                             "compare; send them through single search"}
         seen = set()
         versions = [v.lower() for v in versions
                     if not (v.lower() in seen or seen.add(v.lower()))]

@@ -108,16 +108,22 @@ def rank_bm25_phrase(pos_postings: DataFrame, doc_stats: DataFrame,
     (tf = size(positions)) - no second index needed."""
     terms = phrase_terms(phrase, stopwords)
     matches = phrase_match(pos_postings, phrase, stopwords)
-    postings = (pos_postings.where(F.col("term").isin(terms))
-                .join(matches, "doc_id"))
+    term_rows = pos_postings.where(F.col("term").isin(terms))
+    # df is CORPUS document frequency (before the phrase-match join):
+    # inside the matches every doc contains every phrase term, so a
+    # post-join df would collapse idf to a per-query constant and erase
+    # term-rarity weighting - the ranking.py contract computes df over
+    # the term's full posting list (ranking.py rank_bm25 does the same
+    # post-candidate-pushdown, pre-match aggregation)
+    dfs = term_rows.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    postings = term_rows.join(matches, "doc_id")
     if total_docs is None:
         total_docs = doc_stats.count()
     if avg_dl is None:
         from .index import avg_doc_len
 
         avg_dl = avg_doc_len(doc_stats, total_docs)
-    dfs = postings.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     scored = (postings.join(F.broadcast(dfs), "term")

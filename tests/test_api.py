@@ -116,6 +116,13 @@ def test_api_crawl_search_metrics(spark, tmp_path):
         assert code == 200 and len(ph2["results"]) <= len(ph["results"])
         code, pherr = _post(port, "/api/search", {"query": '"the of a"'})
         assert code == 400 and "indexable" in pherr["error"]
+        # batch and compare reject the phrase form instead of silently
+        # degrading to bag-of-words (quotes are tokenizer delimiters)
+        code, pb = _post(port, "/api/search", {"queries": [phrase]})
+        assert code == 400 and "batch" in pb["error"]
+        code, pc = _post(port, "/api/compare",
+                         {"query": phrase, "versions": ["serial"]})
+        assert code == 400 and "compare" in pc["error"]
 
         # validation envelope mirrors the reference's 400s
         code, err = _post(port, "/api/search", {})

@@ -215,6 +215,11 @@ def test_cli_publish_index_then_serve_only(spark, tmp_path, capsys):
     # serve-only cannot be combined with a crawl
     assert main(["-c", "x", "--index-store", store]) == 2
 
+    # store mode has no positions: quoted queries error gracefully
+    rc = main(["--index-store", store, "-q", '"crawl indexes"'])
+    out3 = capsys.readouterr().out
+    assert rc == 0 and "no positions" in out3
+
 
 def test_cli_index_store_requires_query_or_interactive(tmp_path, capsys):
     rc = main(["--index-store", str(tmp_path / "nope")])
@@ -242,3 +247,11 @@ def test_cli_quoted_phrase_query(spark, tmp_path, capsys):
     assert rc == 0
     assert "Query processed in" in out
     assert ". doc " in out  # at least one phrase hit ranked
+
+
+def test_cli_phrase_error_paths(spark, tmp_path, capsys):
+    wd = str(tmp_path / "w")
+    assert main(["-c", "https://host0.example.com/p/0", "-d", "1", "-p",
+                 "5", "--workdir", wd, "-q", '"the of a"']) == 0
+    out = capsys.readouterr().out
+    assert "no indexable terms" in out  # graceful, not a traceback

@@ -111,3 +111,20 @@ def test_phrase_term_filters_reach_parquet_scan(spark, tmp_path):
     plan = explain_text(phrase_match(pos, "quick brown fox"), "formatted")
     assert "PushedFilters" in plan
     assert plan.count("EqualTo(term,") >= 3  # one pruned scan per term
+
+
+def test_rank_bm25_phrase_uses_corpus_df_for_idf(spark):
+    """df must be CORPUS document frequency, not frequency within the
+    phrase matches (where every doc has every term and idf collapses to
+    a constant): the doc loaded with the RARE term must outrank the doc
+    loaded with the common one."""
+    filler = [(100 + i, "alpha filler words here") for i in range(20)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + "alpha " * 20),   # common-term heavy
+         (2, "alpha beta " + "beta " * 20)]    # rare-term heavy
+        + filler, "doc_id long, text string")
+    pos = build_positional_postings(docs)
+    _, stats = build_index_tables(docs)
+    top = rank_bm25_phrase(pos, stats, "alpha beta", top_k=2).collect()
+    assert [r["doc_id"] for r in top] == [2, 1]
+    assert top[0]["score"] > top[1]["score"]  # strictly, not a tie-break
