@@ -65,7 +65,8 @@ DASHBOARD_HTML = """<!doctype html>
 <h1>High-Performance Parallel Search Engine (PySpark)</h1>
 <div id="status">loading status&hellip;</div>
 <form id="searchform">
- <input type="text" id="query" name="query" placeholder="search query"
+ <input type="text" id="query" name="query"
+        placeholder="search query, or &quot;exact phrase&quot;"
         required>
  <select id="version"><option value="serial">serial</option>
   <option value="openmp">openmp</option></select>
