@@ -80,6 +80,39 @@ def _pin_bucketed_scan(spark: SparkSession) -> None:
                    "false")
 
 
+def save_bucketed_table(df: DataFrame, path: str, table: str,
+                        buckets: int = DEFAULT_BUCKETS,
+                        bucket_col: str = "term",
+                        sort_col: str = "term",
+                        schema_ddl: str | None = None,
+                        extra_meta: dict | None = None) -> DataFrame:
+    """Generic core: write ANY table bucketed+sorted on a key column as a
+    self-describing external directory (the sidecar records the DDL, so
+    register_postings_store re-attaches any schema - it was always
+    schema-generic on the read side). schema_ddl defaults to the frame's
+    own schema. The positional index uses this directly: phrase queries
+    then bucket-prune exactly like BM25's candidate terms do."""
+    spark = df.sparkSession
+    _pin_bucketed_scan(spark)
+    if schema_ddl is None:
+        schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in df.schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (df.write.format("parquet")
+        .bucketBy(buckets, bucket_col).sortBy(sort_col)
+        .option("path", os.path.abspath(path))
+        .mode("overwrite")
+        .saveAsTable(table))
+    manifest = {"table": table, "buckets": buckets,
+                "bucket_col": bucket_col, "sort_col": sort_col,
+                "schema_ddl": schema_ddl, **(extra_meta or {})}
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return spark.table(table)
+
+
 def save_postings_bucketed(postings: DataFrame, path: str,
                            table: str = "postings_store",
                            buckets: int = DEFAULT_BUCKETS,
@@ -89,27 +122,14 @@ def save_postings_bucketed(postings: DataFrame, path: str,
     once at save time: size B so one bucket's posting lists fit an executor
     task comfortably (100 TB / B <= a few hundred MB compressed => B in the
     tens of thousands on a real cluster; 64 default suits local tests)."""
-    spark = postings.sparkSession
-    _pin_bucketed_scan(spark)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     canonical = postings.select(
         F.col("term").cast("string").alias("term"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("tf").cast("bigint").alias("tf"),
     )
-    (canonical.write.format("parquet")
-        .bucketBy(buckets, "term").sortBy("term")
-        .option("path", os.path.abspath(path))
-        .mode("overwrite")
-        .saveAsTable(table))
-    manifest = {"table": table, "buckets": buckets, "bucket_col": "term",
-                "sort_col": "term", "schema_ddl": POSTINGS_COLS_DDL,
-                **(extra_meta or {})}
-    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
-    return spark.table(table)
+    return save_bucketed_table(canonical, path, table, buckets,
+                               schema_ddl=POSTINGS_COLS_DDL,
+                               extra_meta=extra_meta)
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:

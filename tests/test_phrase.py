@@ -128,3 +128,28 @@ def test_rank_bm25_phrase_uses_corpus_df_for_idf(spark):
     top = rank_bm25_phrase(pos, stats, "alpha beta", top_k=2).collect()
     assert [r["doc_id"] for r in top] == [2, 1]
     assert top[0]["score"] > top[1]["score"]  # strictly, not a tie-break
+
+
+def test_phrase_over_bucketed_positional_store(spark, tmp_path):
+    """The positional index stored via the generic bucketed-table core:
+    phrase queries prune to their terms' buckets (SelectedBucketsCount)
+    and match identically to the plain in-memory index - the 100 TB
+    phrase-read story, same shape as BM25's candidate-term pruning."""
+    from high_performance_parallel_search_engine_spark.operators.index_store import (
+        register_postings_store, save_bucketed_table, selected_buckets)
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pos = build_positional_postings(docs)
+    path = str(tmp_path / "pos_store")
+    save_bucketed_table(pos, path, table="t_pos_store", buckets=16)
+
+    # a fresh catalog re-attaches via the sidecar DDL (incl. the
+    # array<int> positions column) and prunes
+    spark.sql("DROP TABLE t_pos_store")
+    tbl = register_postings_store(spark, path)
+    assert dict(tbl.dtypes)["positions"] == "array<int>"
+    matched = phrase_match(tbl, "quick brown fox")
+    sel = selected_buckets(matched)
+    assert sel is not None and sel[0] < sel[1] == 16
+    got = {r["doc_id"]: r["n_occurrences"] for r in matched.collect()}
+    assert got == _oracle_phrase(DOCS, "quick brown fox")
