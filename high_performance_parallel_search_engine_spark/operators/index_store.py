@@ -52,8 +52,6 @@ from ..plans.lineage import explain_text
 
 DEFAULT_BUCKETS = 64
 MANIFEST_NAME = "_bucketed_store.json"
-# canonical stored schema (build_postings output, types pinned for the DDL)
-POSTINGS_COLS_DDL = "term STRING, doc_id BIGINT, tf BIGINT"
 # underscore prefix => Spark's file listing skips these when scanning the
 # bucketed table's LOCATION, so serving sidecars live INSIDE the store
 # directory without polluting the postings scan
@@ -95,7 +93,9 @@ def save_bucketed_table(df: DataFrame, path: str, table: str,
     spark = df.sparkSession
     _pin_bucketed_scan(spark)
     if schema_ddl is None:
-        schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+        # backtick-quoted so non-plain identifiers survive the round trip
+        # into register_postings_store's CREATE TABLE
+        schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                                for f in df.schema.fields)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (df.write.format("parquet")
@@ -127,8 +127,8 @@ def save_postings_bucketed(postings: DataFrame, path: str,
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("tf").cast("bigint").alias("tf"),
     )
+    # the canonical select above IS the schema pin; the DDL auto-derives
     return save_bucketed_table(canonical, path, table, buckets,
-                               schema_ddl=POSTINGS_COLS_DDL,
                                extra_meta=extra_meta)
 
 
@@ -160,8 +160,8 @@ def register_postings_store(spark: SparkSession, path: str,
         spark.sql(f"DROP TABLE {table}")  # external: files untouched
     spark.sql(
         f"CREATE TABLE {table} ({meta['schema_ddl']}) USING PARQUET "
-        f"CLUSTERED BY ({meta['bucket_col']}) "
-        f"SORTED BY ({meta['sort_col']}) "
+        f"CLUSTERED BY (`{meta['bucket_col']}`) "
+        f"SORTED BY (`{meta['sort_col']}`) "
         f"INTO {meta['buckets']} BUCKETS "
         f"LOCATION '{os.path.abspath(path)}'")
     return spark.table(table)
