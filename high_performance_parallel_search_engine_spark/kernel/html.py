@@ -83,23 +83,34 @@ _S = ord("s")
 
 import numpy as _np  # noqa: E402  (float32 quirk reproduction)
 
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=1 << 16)
+def _useful_verdict(alpha: int, space: int, length: int) -> bool:
+    """float32-quirk ratio test, memoized: the verdict is a pure function
+    of the three small integers, and real corpora repeat (alpha, space,
+    length) shapes constantly - np.float32 scalar construction is ~1 us a
+    call and was the bulk of is_useful_content's cost (it runs once per
+    paragraph on medium-branch pages)."""
+    alpha_ratio = _np.float32(alpha) / _np.float32(length)
+    space_ratio = _np.float32(space) / _np.float32(length)
+    return bool(alpha_ratio > 0.4) and bool(space_ratio > 0.05) \
+        and bool(space_ratio < 0.3)
+
 
 def is_useful_content(text: bytes, length: int) -> bool:
     """crawler.c:110-131. Counts over the first 200 bytes, ratios over the
     FULL length (quirk). ASCII classification (C locale). The ratios are
     SINGLE-precision floats in C ((float)count / length) compared against
     double literals - at exact boundaries like 10/200 the float rounds UP
-    past 0.05 and passes; double math would fail. np.float32 reproduces it.
+    past 0.05 and passes; double math would fail. np.float32 reproduces it
+    (memoized in _useful_verdict - same inputs, same quirk, same answer).
     """
     if length < 10:
         return False
     head = bytes(text[:min(length, 200)]).translate(_USEFUL_CLASS)
-    alpha = head.count(_A)
-    space = head.count(_S)
-    alpha_ratio = _np.float32(alpha) / _np.float32(length)
-    space_ratio = _np.float32(space) / _np.float32(length)
-    return bool(alpha_ratio > 0.4) and bool(space_ratio > 0.05) \
-        and bool(space_ratio < 0.3)
+    return _useful_verdict(head.count(_A), head.count(_S), length)
 
 
 def _decode_entity(h: bytes, i: int, html_len: int) -> tuple[bytes | None, int]:
@@ -240,8 +251,11 @@ def html_to_text(html: bytes) -> bytes:
                 continue
 
         c = h[i]
-        # ---- comments (crawler.c:180-192)
-        if i + 3 < html_len and not in_comment and not in_tag and h.startswith(b"<!--", i):
+        # ---- comments (crawler.c:180-192). The "<!--" probe is gated on
+        # c == '<' (the pattern can match nowhere else), saving a bytes
+        # method call per '&'/overflow byte that reaches the per-char path.
+        if c == 0x3C and i + 3 < html_len and not in_comment and not in_tag \
+                and h.startswith(b"<!--", i):
             in_comment = True
             i += 4
             continue
@@ -254,86 +268,100 @@ def html_to_text(html: bytes) -> bytes:
             continue
 
         # ---- section tags chain (crawler.c:195-303); every branch's
-        # pattern starts with '<', so the whole chain is gated on it
-        if c != 0x3C:
+        # pattern starts with '<', so the whole chain is gated on it, and
+        # the SECOND lowered byte dispatches to the only group of patterns
+        # that can match there (h/s/t/p//) - the original flat elif chain
+        # paid ~8 guard+startswith evaluations per '<'. Grouping preserves
+        # the original elif order within each group; across groups the
+        # patterns are disjoint in their second byte, so at most one
+        # group's branch can fire either way. All pattern lengths are >= 3,
+        # so when fewer than 2 bytes remain no branch can match and the
+        # dispatch is skipped entirely (startswith would just fail).
+        if c != 0x3C or i + 1 >= n:
             pass
-        elif not in_tag and i + 6 < html_len and hl.startswith(b"<head>", i):
-            in_head = True
-            in_tag = True
-            i += 1
-            continue
-        elif in_head and i + 7 < html_len and hl.startswith(b"</head>", i):
-            in_head = False
-            in_tag = True
-            i += 7
-            continue
-        elif not in_tag and i + 8 < html_len and hl.startswith(b"<script", i):
-            in_script = True
-            in_tag = True
-            # falls through (no continue in C either)
-        elif not in_tag and i + 7 < html_len and hl.startswith(b"<style", i):
-            in_style = True
-            in_tag = True
-        elif in_script and i + 9 < html_len and hl.startswith(b"</script>", i):
-            in_script = False
-            i += 9
-            continue
-        elif in_style and i + 8 < html_len and hl.startswith(b"</style>", i):
-            in_style = False
-            i += 8
-            continue
-        elif not in_tag and i + 7 < html_len and hl.startswith(b"<title>", i):
-            in_title = True
-            buf.clear()
-            i += 7
-            continue
-        elif in_title and i + 8 < html_len and hl.startswith(b"</title>", i):
-            in_title = False
-            i += 8
-            if buf:
-                emit(b"\n\n# " + bytes(buf) + b"\n\n")
-            buf.clear()
-            continue
-        elif not in_tag and loop_medium:
-            # medium h1/h2/p handling (crawler.c:243-303)
-            if i + 3 < html_len and hl.startswith(b"<h1", i):
-                in_heading = True
-                buf.clear()
+        elif (b2 := hl[i + 1]) == 0x68:  # 'h': <head>, medium <h1>/<h2>
+            if not in_tag and i + 6 < html_len and hl.startswith(b"<head>", i):
+                in_head = True
                 in_tag = True
-                i += 3
+                i += 1
                 continue
-            elif in_heading and i + 5 < html_len and hl.startswith(b"</h1>", i):
-                in_heading = False
-                i += 5
+            elif not in_tag and loop_medium:
+                if i + 3 < html_len and hl.startswith(b"<h1", i):
+                    in_heading = True
+                    buf.clear()
+                    in_tag = True
+                    i += 3
+                    continue
+                elif i + 3 < html_len and hl.startswith(b"<h2", i):
+                    in_heading = True
+                    buf.clear()
+                    in_tag = True
+                    i += 3
+                    continue
+        elif b2 == 0x2F:  # '/': the closing tags
+            if in_head and i + 7 < html_len and hl.startswith(b"</head>", i):
+                in_head = False
+                in_tag = True
+                i += 7
+                continue
+            elif in_script and i + 9 < html_len and hl.startswith(b"</script>", i):
+                in_script = False
+                i += 9
+                continue
+            elif in_style and i + 8 < html_len and hl.startswith(b"</style>", i):
+                in_style = False
+                i += 8
+                continue
+            elif in_title and i + 8 < html_len and hl.startswith(b"</title>", i):
+                in_title = False
+                i += 8
                 if buf:
                     emit(b"\n\n# " + bytes(buf) + b"\n\n")
                 buf.clear()
                 continue
-            elif i + 3 < html_len and hl.startswith(b"<h2", i):
-                in_heading = True
-                buf.clear()
+            elif not in_tag and loop_medium:
+                # medium closing tags (crawler.c:243-303)
+                if in_heading and i + 5 < html_len and hl.startswith(b"</h1>", i):
+                    in_heading = False
+                    i += 5
+                    if buf:
+                        emit(b"\n\n# " + bytes(buf) + b"\n\n")
+                    buf.clear()
+                    continue
+                elif in_heading and i + 5 < html_len and hl.startswith(b"</h2>", i):
+                    in_heading = False
+                    i += 5
+                    if buf:
+                        emit(b"\n\n## " + bytes(buf) + b"\n\n")
+                    buf.clear()
+                    continue
+                elif in_paragraph and i + 4 < html_len and hl.startswith(b"</p>", i):
+                    in_paragraph = False
+                    i += 4
+                    if buf:
+                        if is_useful_content(bytes(buf), len(buf)):
+                            emit(bytes(buf) + b"\n\n")
+                    buf.clear()
+                    continue
+        elif b2 == 0x73:  # 's': <script / <style (both fall through, as C)
+            if not in_tag and i + 8 < html_len and hl.startswith(b"<script", i):
+                in_script = True
                 in_tag = True
-                i += 3
-                continue
-            elif in_heading and i + 5 < html_len and hl.startswith(b"</h2>", i):
-                in_heading = False
-                i += 5
-                if buf:
-                    emit(b"\n\n## " + bytes(buf) + b"\n\n")
+            elif not in_tag and i + 7 < html_len and hl.startswith(b"<style", i):
+                in_style = True
+                in_tag = True
+        elif b2 == 0x74:  # 't': <title>
+            if not in_tag and i + 7 < html_len and hl.startswith(b"<title>", i):
+                in_title = True
                 buf.clear()
+                i += 7
                 continue
-            elif i + 3 < html_len and hl.startswith(b"<p>", i):
+        elif b2 == 0x70:  # 'p': medium <p>
+            if not in_tag and loop_medium and i + 3 < html_len \
+                    and hl.startswith(b"<p>", i):
                 in_paragraph = True
                 buf.clear()
                 i += 3
-                continue
-            elif in_paragraph and i + 4 < html_len and hl.startswith(b"</p>", i):
-                in_paragraph = False
-                i += 4
-                if buf:
-                    if is_useful_content(bytes(buf), len(buf)):
-                        emit(bytes(buf) + b"\n\n")
-                buf.clear()
                 continue
 
         # ---- head/script/style content skip (crawler.c:306-313)

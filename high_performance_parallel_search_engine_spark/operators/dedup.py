@@ -161,11 +161,24 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     max_bucket_size bounds the within-bucket quadratic pair output (a
     10^5-document duplicate cluster lands in one bucket per band and would
-    emit 5x10^9 pairs): buckets larger than the cap are dropped before the
-    self-join. The hot-bucket list is tiny by construction, so the exclusion
-    is a broadcast anti-join - no extra shuffle of the bucket table. Giant
-    clusters are the job of exact_dedup (one agg), not pairwise LSH;
-    None disables the cap."""
+    emit 5x10^9 pairs): buckets larger than the cap are dropped before pair
+    generation. Giant clusters are the job of exact_dedup (one agg), not
+    pairwise LSH; None disables the cap.
+
+    Plan shape (guide §2.4 - remove shuffles outright): the inverted
+    bucket table is ONE aggregation, groupBy(band, bucket) ->
+    sorted collect_set(doc_id); the size cap is then a plain filter on the
+    set size (the former shape needed a checkpointed bucket table feeding a
+    hot-bucket aggregation, a broadcast anti-join AND a self-join - three
+    extra jobs and two extra exchanges per run). Pairs come from a
+    double-explode of each kept set (codegen, no join); a doc appears in
+    exactly one bucket per band, so count(*) per (doc_a, doc_b) ==
+    COUNT(DISTINCT band) and the distinct-aggregate machinery is skipped.
+    Kept sets are bounded at 8*max_bucket_size bytes (80 KB at the
+    default); an over-cap cluster's set exists only transiently inside the
+    aggregation before its bucket is dropped - at 10^6 members that is an
+    8 MB spill-able aggregation buffer, the accepted trade for removing
+    two exchanges from every run."""
     sig = minhash_signatures(docs, id_col, text_col, num_perm)
     rows = num_perm // bands
     band_cols = []
@@ -178,47 +191,41 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.bucket").alias("bucket"))
-    # materialize the slim bucket table ONCE: downstream it feeds the
-    # hot-bucket aggregation, the anti-join and BOTH sides of the
-    # self-join - without the checkpoint Catalyst re-runs the whole
-    # shingle+signature pipeline per branch (measured: 4 corpus scans,
-    # 0 reused exchanges). Lazy local checkpoint = computed at first
-    # action, blocks GC-freed with the DataFrame; a production run on
-    # durable storage would use reliable checkpoint instead.
-    buckets = buckets.localCheckpoint(eager=False)
+    inv = (buckets.groupBy("band", "bucket")
+           .agg(F.sort_array(F.collect_set("doc_id")).alias("_ds"))
+           .where(F.size("_ds") >= 2))
     if max_bucket_size is not None:
-        hot = (buckets.groupBy("band", "bucket")
-               .agg(F.count("*").alias("_n"))
-               .where(F.col("_n") > max_bucket_size)
-               .select("band", "bucket"))
-        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"],
-                               "left_anti")
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("doc_a"),
-                 F.col("r.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("band").alias("n_bands"))
-    )
+        inv = inv.where(F.size("_ds") <= max_bucket_size)
+    # ordered pairs via double explode: sort_array makes doc_a < doc_b a
+    # cheap filter with deterministic content either way
+    return (inv.select(F.explode("_ds").alias("doc_a"), "_ds")
+            .select("doc_a", F.explode("_ds").alias("doc_b"))
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_bands")))
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): tf-weighted bit-vote simhash over tokens.
-    bit_k = 1 iff sum(tf * (token_hash bit k ? 1 : -1)) > 0."""
-    toks = docs.select(
+    bit_k = 1 iff sum(tf * (token_hash bit k ? 1 : -1)) > 0.
+
+    Plan shape (guide §2.4): the vote sum is linear in tf -
+    sum over distinct tokens of tf * sign == sum over token OCCURRENCES
+    of sign - so the (doc_id, token) tf pre-aggregation (a full extra
+    shuffle) is unnecessary: hash every occurrence and vote +-1 straight
+    into ONE groupBy(doc_id) whose map-side partial aggregation collapses
+    each partition to one row per doc before the exchange."""
+    hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_simple_col(F.col(text_col))).alias("token"),
-    ).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    h = phash_col(F.col("token"))
+    ).select("doc_id", phash_col(F.col("token")).alias("h"))
     votes = [
-        F.sum(F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1,
-                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"v_{k}")
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v_{k}")
         for k in range(bits)
     ]
-    voted = toks.groupBy("doc_id").agg(*votes)
+    voted = hashed.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
     for k in range(bits):
         sim = sim + F.when(F.col(f"v_{k}") > 0,
@@ -277,35 +284,45 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     (doc_a, doc_b, jaccard rounded to 6) with doc_a < doc_b, j >= threshold.
 
     max_shingle_df drops boilerplate shingles shared by more than that many
-    documents BEFORE the self-join (a shingle with df=10^6 alone would emit
-    5x10^11 join rows). Jaccard is then computed over the pruned shingle
-    universe - doc sizes count only surviving shingles, so the measure stays
-    a true Jaccard on that universe (standard stop-shingle removal). The
-    hot-shingle list is tiny, so the exclusion is a broadcast anti-join.
-    None disables the cap."""
-    # shingles collapse to 60-bit hashes BEFORE the distinct: every
-    # downstream shuffle and the inverted-index self-join then move 8-byte
-    # keys instead of ~30-byte strings. Both engines hash identically
-    # (phash), so the measure is exact Jaccard over the hashed shingle
-    # universe - a 2^-60 collision would fold two shingles on BOTH sides
-    # equally, keeping the gate value-exact.
-    #
-    # one shingle pass: the distinct (doc, shingle-hash) set feeds the
-    # hot-df aggregation, the per-doc sizes AND both sides of the
-    # self-join - checkpoint or pay ~4 corpus scans (see minhash_lsh_pairs)
+    documents BEFORE pair generation (a shingle with df=10^6 alone would
+    emit 5x10^11 pair rows). Jaccard is then computed over the pruned
+    shingle universe - doc sizes count only surviving shingles, so the
+    measure stays a true Jaccard on that universe (standard stop-shingle
+    removal). None disables the cap.
+
+    Plan shape (guide §2.4 - remove shuffles outright): shingles collapse
+    to 60-bit hashes, then ONE aggregation builds the inverted index
+    groupBy(shingle) -> sorted collect_set(doc_id): the set dedups
+    (doc, shingle) for free (the former global .distinct() exchange is
+    gone), df == size of the set so the boilerplate cap is a plain filter
+    (the former hot-df aggregation + broadcast anti-join jobs are gone),
+    and candidate pairs come from a codegen double-explode of each kept
+    set instead of a self-join (two more exchanges gone). Per-doc sizes
+    re-derive from the kept sets (one checkpoint read). Kept sets are
+    bounded at 8*max_shingle_df bytes; an over-cap shingle's set exists
+    only transiently inside the aggregation before the filter drops it -
+    a spill-able buffer, the accepted trade for three fewer exchanges."""
     sh = (doc_shingles(docs, id_col, text_col, k)
-          .select("doc_id", phash_col(F.col("shingle")).alias("shingle"))
-          .distinct().localCheckpoint(eager=False))
+          .select("doc_id", phash_col(F.col("shingle")).alias("shingle")))
+    inv = (sh.groupBy("shingle")
+           .agg(F.sort_array(F.collect_set("doc_id")).alias("_ds")))
     if max_shingle_df is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-               .where(F.col("_df") > max_shingle_df).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        inv = inv.where(F.size("_ds") <= max_shingle_df)
+    # the kept inverted index feeds BOTH the per-doc sizes and the pair
+    # stream - checkpoint or the whole shingle pipeline runs twice
+    inv = inv.localCheckpoint(eager=False)
+    # sizes joins the pair stream TWICE (doc_a and doc_b side); the two
+    # broadcast builds are not exchange-reused (different output aliases),
+    # so checkpoint the tiny table or the explode+agg runs twice
+    sizes = (inv.select(F.explode("_ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+             .localCheckpoint(eager=False))
     pairs = (
-        sh.alias("a").join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        inv.where(F.size("_ds") >= 2)
+        .select(F.explode("_ds").alias("doc_a"), "_ds")
+        .select("doc_a", F.explode("_ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     return (
@@ -348,17 +365,27 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     are integer minima, independent of partitioning. Iterative -> the
     DuckDB oracle uses a recursive CTE (transitive closure + MIN) instead
     of one SQL query."""
+    # LAZY edge checkpoint + plain labels scan: the first iteration's sum
+    # action materializes the edge blocks as a side effect (reused by every
+    # later iteration's join) - the former eager edge/label checkpoints
+    # cost two extra driver-synchronized jobs before any propagation ran.
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .unionByName(pairs.select(F.col(dst).alias("a"),
                                        F.col(src).alias("b")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).alias("label")) \
-        .localCheckpoint(eager=True)
+                          F.col(id_col).alias("label"))
     prev_sum = None
-    for _ in range(max_iters):
-        prop = (labels.join(edges, labels["node"] == edges["a"])
-                .select(F.col("b").alias("node"), "label"))
+    for it in range(max_iters):
+        if it == 0:
+            # iteration-1 shortcut: labels are the identity (label == node),
+            # so labels JOIN edges ON node = a degenerates to the edge list
+            # itself - propagate (b, a) directly and skip the join stage.
+            prop = edges.select(F.col("b").alias("node"),
+                                F.col("a").alias("label"))
+        else:
+            prop = (labels.join(edges, labels["node"] == edges["a"])
+                    .select(F.col("b").alias("node"), "label"))
         # lazy checkpoint + the sum action = ONE job per iteration: the
         # aggregate materializes the checkpoint as a side effect, and later
         # iterations reuse the checkpointed blocks

@@ -173,16 +173,25 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
     guards with a vocab-size cap); df_table remains the unbounded-vocab
     path and both produce identical results (parity-tested)."""
     spark = postings.sparkSession
+    stats_df = None
     if total_docs is None or avg_dl is None:
-        # one job for both corpus stats (doc_stats has one row per doc)
-        row = doc_stats.agg(F.count("*").alias("n"),
-                            F.sum("dl").alias("s")).collect()[0]
-        if total_docs is None:
-            total_docs = row["n"]
-        if avg_dl is None:
-            avg_dl = (row["s"] or 0) / total_docs if total_docs else 0.0
-    if total_docs == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
+        # cold path: corpus stats ride INSIDE the scoring plan as a 1-row
+        # broadcast (crossJoin) instead of a separate collect() job - the
+        # former extra driver sync was a fixed ~0.2 s on every cold query.
+        # Arithmetic is bit-identical: N and avg_dl were exact doubles
+        # derived from the same long count/sum, and double(s)/double(n)
+        # rounds identically to Python's s/n. An empty corpus yields an
+        # empty join result - the same empty (doc_id, score) frame the
+        # old early return built.
+        stats_df = doc_stats.agg(F.count("*").alias("_n"),
+                                 F.sum("dl").alias("_s"))
+        n_col = F.col("_n").cast("double")
+        avg_col = F.col("_s").cast("double") / n_col
+    else:
+        if total_docs == 0:
+            return spark.createDataFrame([], "doc_id long, score double")
+        n_col = F.lit(float(total_docs))
+        avg_col = F.lit(float(avg_dl))
 
     terms = query_terms(query, stopwords)
     if not terms:
@@ -208,8 +217,8 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
         sel = spark.createDataFrame(rows, "qpos int, term string, df long")
         postings = _pushdown_candidate_terms(postings,
                                              [r[1] for r in rows])
-        return _score_candidates(postings, doc_stats, sel, total_docs,
-                                 avg_dl, top_k)
+        return _score_candidates(postings, doc_stats, sel, n_col, avg_col,
+                                 top_k, stats_df)
 
     # Candidate table: (query position, candidate term, preference).
     # pref 0 = the term itself; pref 1 = the OpenMP plural/singular retry.
@@ -255,24 +264,32 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
         # skip its exchange (one less stage on every warm query)
         sel = df_tbl.select("qpos", "term", "df")
 
-    return _score_candidates(postings, doc_stats, sel, total_docs, avg_dl,
-                             top_k)
+    return _score_candidates(postings, doc_stats, sel, n_col, avg_col,
+                             top_k, stats_df)
 
 
 def _score_candidates(postings: DataFrame, doc_stats: DataFrame,
-                      sel: DataFrame, total_docs: int, avg_dl: float,
-                      top_k: int) -> DataFrame:
-    """Shared scoring tail: sel = (qpos, term, df) resolved candidates."""
-    idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
+                      sel: DataFrame, n_col, avg_col,
+                      top_k: int, stats_df: DataFrame | None = None) -> DataFrame:
+    """Shared scoring tail: sel = (qpos, term, df) resolved candidates.
+    n_col/avg_col are double Columns (literals on a warm index; references
+    into the 1-row broadcast `stats_df` on the cold path - see rank_bm25's
+    stats_df note)."""
+    idf = F.log((n_col - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     scored = (
         postings
         .join(F.broadcast(sel), "term")            # R2: query terms x index
         .join(doc_stats, "doc_id")
+    )
+    if stats_df is not None:
+        scored = scored.crossJoin(F.broadcast(stats_df))
+    scored = (
+        scored
         .withColumn("idf", idf)
         .withColumn("score_part", bm25_score_col(
             F.col("tf").cast("double"), F.col("dl").cast("double"),
-            F.lit(float(avg_dl)), F.col("idf")))
+            avg_col, F.col("idf")))
     )
     return (
         scored.groupBy("doc_id")
@@ -305,18 +322,21 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
     rank_bm25 per (query, position) - a batched query must rank exactly
     like the same query sent alone (the dashboard serves both forms)."""
     spark = postings.sparkSession
-    if total_docs is None or avg_dl is None:
-        # one job for both corpus stats (doc_stats has one row per doc)
-        row = doc_stats.agg(F.count("*").alias("n"),
-                            F.sum("dl").alias("s")).collect()[0]
-        if total_docs is None:
-            total_docs = row["n"]
-        if avg_dl is None:
-            avg_dl = (row["s"] or 0) / total_docs if total_docs else 0.0
     empty = spark.createDataFrame(
         [], "query_id int, doc_id long, score double, rk int")
-    if total_docs == 0:
-        return empty
+    stats_df = None
+    if total_docs is None or avg_dl is None:
+        # cold path: in-plan 1-row stats broadcast instead of a separate
+        # collect() job (see rank_bm25's stats_df note; bit-identical)
+        stats_df = doc_stats.agg(F.count("*").alias("_n"),
+                                 F.sum("dl").alias("_s"))
+        n_col = F.col("_n").cast("double")
+        avg_col = F.col("_s").cast("double") / n_col
+    else:
+        if total_docs == 0:
+            return empty
+        n_col = F.lit(float(total_docs))
+        avg_col = F.lit(float(avg_dl))
 
     cands = []
     for qid, query in enumerate(queries):
@@ -345,7 +365,7 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
         postings = _pushdown_candidate_terms(postings,
                                              [r[2] for r in rows])
         return _score_candidates_batch(postings, doc_stats, df_tbl,
-                                       total_docs, avg_dl, top_k)
+                                       n_col, avg_col, top_k, stats_df)
     # candidate table with preference: pref 0 = the term itself, pref 1 =
     # the plural/singular retry (mirrors rank_bm25)
     prefd = [(qid, i, t, 0) for qid, i, t in cands]
@@ -374,24 +394,30 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
         df_tbl = (df_tbl.withColumn("_minpref", F.min("pref").over(wq))
                   .where(F.col("pref") == F.col("_minpref")))
     df_tbl = df_tbl.select("query_id", "qpos", "term", "df")
-    return _score_candidates_batch(postings, doc_stats, df_tbl, total_docs,
-                                   avg_dl, top_k)
+    return _score_candidates_batch(postings, doc_stats, df_tbl, n_col,
+                                   avg_col, top_k, stats_df)
 
 
 def _score_candidates_batch(postings: DataFrame, doc_stats: DataFrame,
-                            df_tbl: DataFrame, total_docs: int,
-                            avg_dl: float, top_k: int) -> DataFrame:
-    """Shared batch scoring tail: df_tbl = (query_id, qpos, term, df)."""
-    idf = F.log((F.lit(float(total_docs)) - F.col("df") + 0.5)
+                            df_tbl: DataFrame, n_col, avg_col, top_k: int,
+                            stats_df: DataFrame | None = None) -> DataFrame:
+    """Shared batch scoring tail: df_tbl = (query_id, qpos, term, df).
+    n_col/avg_col/stats_df as in _score_candidates."""
+    idf = F.log((n_col - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     scored = (
         postings
         .join(F.broadcast(df_tbl.select("query_id", "qpos", "term", "df")),
               "term")
         .join(doc_stats, "doc_id")
+    )
+    if stats_df is not None:
+        scored = scored.crossJoin(F.broadcast(stats_df))
+    scored = (
+        scored
         .withColumn("score_part", bm25_score_col(
             F.col("tf").cast("double"), F.col("dl").cast("double"),
-            F.lit(float(avg_dl)), idf))
+            avg_col, idf))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score_part").alias("score"))
         .where(F.col("score") > 0)

@@ -103,11 +103,16 @@ def test_minhash_lsh_bucket_cap_bounds_output(spark):
     assert all(not (r["doc_a"] < 100 and r["doc_b"] < 100) for r in rows)
 
 
-def test_lsh_cap_anti_join_is_broadcast(spark):
+def test_lsh_cap_is_plain_filter_no_join(spark):
+    """r6 shape: the inverted bucket table is one collect_set aggregation
+    and the bucket-size cap is a plain `size(_ds) <= cap` filter - no
+    join of any kind in the pair plan (the former checkpoint + hot-bucket
+    agg + broadcast anti-join + self-join shape paid three extra jobs)."""
     docs = _hot_corpus(spark)
     out = D.minhash_lsh_pairs(docs, max_bucket_size=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Join" not in plan
+    assert "size(_ds" in plan           # the cap filter reached the plan
 
 
 def test_politeness_budget_hot_host_skew(spark):
@@ -544,8 +549,13 @@ def test_bm25_df_map_single_job_plan(spark, docs):
     try:
         df_map = dict(
             (r["term"], r["df"]) for r in IX.term_df(postings).collect())
+        total = stats.count()
+        avg_dl = IX.avg_doc_len(stats, total)
+        # the warm serving contract (EngineState/bench): corpus stats are
+        # passed in, so the plan is exactly ONE aggregate (the score sum)
         out = RK.rank_bm25(postings, stats, "joins window", top_k=5,
-                           fallback=True, df_map=df_map)
+                           fallback=True, df_map=df_map,
+                           total_docs=total, avg_dl=avg_dl)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Window" not in plan      # pref resolution happened in Python
         # exactly one LOGICAL aggregate: the final per-doc score sum - no
@@ -553,6 +563,14 @@ def test_bm25_df_map_single_job_plan(spark, docs):
         # the InMemoryRelation's embedded cached physical plan prints
         # "HashAggregate(", which must not count.)
         assert plan.count("Aggregate [") == 1
+        # without warm stats, the 1-row corpus-stats aggregate rides the
+        # SAME plan as a broadcast (r6: no separate collect job) - still
+        # no per-query df aggregate over postings and no Window
+        cold = RK.rank_bm25(postings, stats, "joins window", top_k=5,
+                            fallback=True, df_map=df_map)
+        cplan = cold._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in cplan
+        assert cplan.count("Aggregate [") == 2
     finally:
         postings.unpersist()
         stats.unpersist()
