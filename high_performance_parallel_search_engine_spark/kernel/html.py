@@ -44,17 +44,11 @@ NO_CONTENT_FALLBACK = b"No readable content could be extracted from this page."
 _WS = b" \t\n\v\f\r"  # C isspace set
 _TEXT_BUFFER_CAP = 9999  # sizeof(text_buffer) - 1
 
-# fast-path scanners: positions where the per-char state machine can change
-# state. Between matches the behavior is a bulk copy/skip (proved equivalent
-# by differential fuzz vs the compiled C reference).
-_FLOW_SPECIAL = re.compile(rb"[<&\t\n\v\f\r ]")
+# fast-path scanner: positions where the per-char state machine can change
+# state inside tag/skip modes. Between matches the behavior is a bulk skip
+# (proved equivalent by differential fuzz vs the compiled C reference).
+# Content modes bulk-scan with bytes.find on '<'/'&' instead.
 _ANGLE = re.compile(rb"[<>]")
-# A maximal run of words separated by SINGLE 0x20 spaces: such a run passes
-# through the C state machine verbatim (each single space is emitted with
-# consecutive_spaces 0->1, immediately reset by the following word byte), so
-# it can be copied in one slice. Runs of >=2 whitespace, tabs/newlines, '<'
-# and '&' all stop the match and fall to the authoritative per-char logic.
-_WORD_RUN = re.compile(rb"[^<&\t\n\v\f\r ]+(?: [^<&\t\n\v\f\r ]+)*")
 
 
 def _nul_truncate(b: bytes) -> bytes:
@@ -62,12 +56,6 @@ def _nul_truncate(b: bytes) -> bytes:
     first NUL byte is invisible to it."""
     z = b.find(b"\0")
     return b[:z] if z >= 0 else b
-
-
-def _starts_with(hl: bytes, i: int, prefix: bytes) -> bool:
-    """strncasecmp-based prefix test (crawler.c:105-107). `hl` is the
-    pre-lowered buffer; offset startswith avoids per-check slicing."""
-    return hl.startswith(prefix, i)
 
 
 # byte-class table for is_useful_content: alpha -> 'a', C-isspace -> 's',
@@ -119,18 +107,29 @@ def _decode_entity(h: bytes, i: int, html_len: int) -> tuple[bytes | None, int]:
     '&'; the caller's loop will still do its own i += 1 afterwards, so the
     returned i mimics the C in-loop `i += k` adjustments. Entity names are
     case-SENSITIVE (strncmp)."""
-    if h.startswith(b"&amp;", i) and i + 5 < html_len:
-        return b"&", i + 4
-    if h.startswith(b"&lt;", i) and i + 4 < html_len:
-        return b"<", i + 3
-    if h.startswith(b"&gt;", i) and i + 4 < html_len:
-        return b">", i + 3
-    if h.startswith(b"&quot;", i) and i + 6 < html_len:
-        return b'"', i + 5
-    if h.startswith(b"&nbsp;", i) and i + 6 < html_len:
-        return b" ", i + 5
-    if h.startswith(b"&#039;", i) and i + 6 < html_len:
-        return b"'", i + 5
+    # the six known entities are case-sensitive and pairwise distinct in
+    # their second byte - one index probe replaces six startswith calls
+    n = len(h)
+    if i + 1 < n:
+        b2 = h[i + 1]
+        if b2 == 0x61:  # 'a'
+            if h.startswith(b"&amp;", i) and i + 5 < html_len:
+                return b"&", i + 4
+        elif b2 == 0x6C:  # 'l'
+            if h.startswith(b"&lt;", i) and i + 4 < html_len:
+                return b"<", i + 3
+        elif b2 == 0x67:  # 'g'
+            if h.startswith(b"&gt;", i) and i + 4 < html_len:
+                return b">", i + 3
+        elif b2 == 0x71:  # 'q'
+            if h.startswith(b"&quot;", i) and i + 6 < html_len:
+                return b'"', i + 5
+        elif b2 == 0x6E:  # 'n'
+            if h.startswith(b"&nbsp;", i) and i + 6 < html_len:
+                return b" ", i + 5
+        elif b2 == 0x23:  # '#'
+            if h.startswith(b"&#039;", i) and i + 6 < html_len:
+                return b"'", i + 5
     # unknown entity: scan ahead up to 10 bytes for ';' (crawler.c:365-372)
     n = len(h)
     j = i
@@ -203,58 +202,83 @@ def html_to_text(html: bytes) -> bytes:
                 break  # no further '<'/'>': no state change possible
             i = m.start()
         elif in_title or in_heading or in_paragraph:
-            mr = _WORD_RUN.match(h, i)
-            if mr is not None:
-                j = mr.end()
-                # bulk only when the whole run fits under the cap (the run
-                # starts with a word byte, so every inner single space
-                # follows a non-WS buf tail and appends verbatim); a run
-                # crossing the cap falls to the per-char authoritative path.
-                if (j - i) + len(buf) <= _TEXT_BUFFER_CAP:
-                    buf.extend(h[i:j])
-                    i = j
-                    continue
-            m = _FLOW_SPECIAL.search(h, i)
-            j = m.start() if m else n
-            if j > i:
-                room = _TEXT_BUFFER_CAP - len(buf)
-                if room > 0:
-                    buf.extend(h[i:i + min(j - i, room)])
+            # the only state-changing bytes in buffered content are '<'
+            # (tag machinery) and '&' (entity); everything between is the
+            # per-byte append+WS-collapse, which split/join reproduces in
+            # one pass: each maximal WS run becomes a single ' ' appended
+            # iff the buffer tail is a non-space byte (inner runs always
+            # follow a word byte; the leading run consults buf's tail).
+            blen = len(buf)
+            if blen >= _TEXT_BUFFER_CAP:
+                # full buffer: every content byte is append-guarded into a
+                # no-op - including '&' (the entity decode sits under the
+                # same cap guard, so per-char it neither emits nor consumes
+                # more than one byte). Jump straight to the next tag byte.
+                j = h.find(b"<", i)
+                if j < 0:
+                    break
                 i = j
-                continue
-            if h[i] in _WS:  # collapse the whole whitespace run at once
-                if len(buf) < _TEXT_BUFFER_CAP and buf and buf[-1] not in _WS:
-                    buf.extend(b" ")
-                i += 1
-                while i < n and h[i] in _WS:
-                    i += 1
-                continue
+            else:
+                j = h.find(b"<", i)
+                if j < 0:
+                    j = n
+                a = h.find(b"&", i, j)
+                stop = a if a >= 0 else j
+                if stop > i:
+                    seg = h[i:stop]
+                    parts = seg.split()
+                    if parts:
+                        piece = b" ".join(parts)
+                        if seg[0] in _WS and blen and buf[-1] not in _WS:
+                            piece = b" " + piece
+                        if seg[-1] in _WS:
+                            piece += b" "
+                        room = _TEXT_BUFFER_CAP - blen
+                        buf.extend(piece if len(piece) <= room
+                                   else piece[:room])
+                    elif blen and buf[-1] not in _WS:
+                        buf.extend(b" ")  # WS-only segment -> one space
+                    i = stop
+                    continue
+                # at '<' or '&': authoritative per-char logic below
         else:
-            mr = _WORD_RUN.match(h, i)
-            if mr is not None:
-                # whole word-run (single spaces included) copies verbatim:
-                # each inner space hits the C collapse with
-                # consecutive_spaces == 0 and the following word byte
-                # resets it, so output == input for the entire run.
-                out.extend(h[i:mr.end()])
-                content_written = True
-                consecutive_spaces = 0
-                i = mr.end()
-                continue
-            if h[i] in _WS:  # collapse the whole whitespace run at once
-                if consecutive_spaces == 0:
-                    emit(b" ")
+            # flowing text: same two stop bytes; the collapsed segment goes
+            # to the output with consecutive_spaces carrying the boundary
+            # state (a leading WS run emits ' ' only when the previous
+            # emitted byte was not a collapsed space).
+            j = h.find(b"<", i)
+            if j < 0:
+                j = n
+            a = h.find(b"&", i, j)
+            stop = a if a >= 0 else j
+            if stop > i:
+                seg = h[i:stop]
+                parts = seg.split()
+                if parts:
+                    piece = b" ".join(parts)
+                    if seg[0] in _WS and consecutive_spaces == 0:
+                        piece = b" " + piece
+                    if seg[-1] in _WS:
+                        piece += b" "
+                        consecutive_spaces = 1
+                    else:
+                        consecutive_spaces = 0
+                    out.extend(piece)
+                    content_written = True
+                elif consecutive_spaces == 0:  # WS-only segment
+                    out.extend(b" ")
+                    content_written = True
                     consecutive_spaces = 1
-                i += 1
-                while i < n and h[i] in _WS:
-                    i += 1
+                i = stop
                 continue
+            # at '<' or '&': authoritative per-char logic below
 
         c = h[i]
         # ---- comments (crawler.c:180-192). The "<!--" probe is gated on
-        # c == '<' (the pattern can match nowhere else), saving a bytes
-        # method call per '&'/overflow byte that reaches the per-char path.
-        if c == 0x3C and i + 3 < html_len and not in_comment and not in_tag \
+        # "<!" (the pattern can match nowhere else), saving a bytes method
+        # call at every ordinary '<' that reaches the per-char path.
+        if c == 0x3C and i + 3 < html_len and i + 1 < n \
+                and h[i + 1] == 0x21 and not in_comment and not in_tag \
                 and h.startswith(b"<!--", i):
             in_comment = True
             i += 4
@@ -368,6 +392,17 @@ def html_to_text(html: bytes) -> bytes:
         if in_head or in_script or in_style:
             if c == 0x3C:  # '<'
                 in_tag = True
+                # whole-tag shortcut: when the interior holds no further
+                # '<', nothing in it can change state before the '>' (the
+                # closing-tag probes above all start with '<'), so the two
+                # per-char visits collapse into one jump past the '>'
+                gt = h.find(b">", i + 1)
+                if gt > 0:
+                    lt = h.find(b"<", i + 1, gt)
+                    if lt < 0:
+                        in_tag = False
+                        i = gt + 1
+                        continue
             elif in_tag and c == 0x3E:  # '>'
                 in_tag = False
             i += 1
@@ -376,13 +411,22 @@ def html_to_text(html: bytes) -> bytes:
         # ---- generic tag open + block breaks (crawler.c:316-331)
         if c == 0x3C:
             in_tag = True
-            if i + 4 < html_len and (
+            if i + 4 < html_len and i + 1 < n and hl[i + 1] in b"pbhl" and (
                 hl.startswith(b"<p>", i) or hl.startswith(b"<br", i)
                 or hl.startswith(b"<li", i) or hl.startswith(b"<h", i)
             ):
                 if not in_title and not in_heading and not in_paragraph:
                     out.extend(b"\n\n")  # break without content_written
                 consecutive_spaces = 0
+            # whole-tag shortcut (see the skip-mode branch): interior free
+            # of '<' -> jump straight past the closing '>' in one visit
+            gt = h.find(b">", i + 1)
+            if gt > 0:
+                lt = h.find(b"<", i + 1, gt)
+                if lt < 0:
+                    in_tag = False
+                    i = gt + 1
+                    continue
             i += 1
             continue
         if in_tag:
