@@ -28,9 +28,15 @@ MAX_TOKEN_LEN = 100  # index.c:71-73
 
 def tokens_col(text, stopwords=DEFAULT_STOPWORDS):
     """array<string> of index-ready tokens from a text column; pure Column
-    (codegen), identical to kernel.text.tokenize with the serial stemmer."""
-    toks = F.split(text, TOKEN_SPLIT_REGEX)
-    toks = F.transform(toks, lambda t: F.lower(t))
+    (codegen), identical to kernel.text.tokenize with the serial stemmer.
+
+    The whole text is lowered BEFORE the split: one codegen pass over the
+    string instead of an interpreted transform() lambda per token. The
+    delimiter class is pure ASCII punctuation/whitespace, which lowercasing
+    never produces or consumes, so token boundaries and per-token content
+    are identical to the per-token form (incl. contextual mappings like
+    final sigma - a word-final position is word-final in both views)."""
+    toks = F.split(F.lower(text), TOKEN_SPLIT_REGEX)
     stop = F.array(*[F.lit(s) for s in stopwords])
     return F.filter(
         toks,

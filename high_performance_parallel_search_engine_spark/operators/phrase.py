@@ -69,12 +69,33 @@ def phrase_terms(phrase: str, stopwords=DEFAULT_STOPWORDS) -> list[str]:
     return tokenize(phrase, stopwords)
 
 
+def _rarity_order(terms: list[str], term_dfs: dict | None) -> list[int]:
+    """Join order for the phrase's term sides: ascending document
+    frequency, ties broken by phrase position (deterministic). The rarest
+    term's posting list then drives the join chain, so every later join
+    probes at most that many docs - the classic posting-list intersection
+    order (guide §3: reduce the big side before it joins). Without df
+    stats the phrase order is kept."""
+    if not term_dfs:
+        return list(range(len(terms)))
+    return sorted(range(len(terms)),
+                  key=lambda i: (term_dfs.get(terms[i], 0), i))
+
+
 def phrase_match(pos_postings: DataFrame, phrase: str,
-                 stopwords=DEFAULT_STOPWORDS) -> DataFrame:
+                 stopwords=DEFAULT_STOPWORDS,
+                 term_dfs: dict | None = None) -> DataFrame:
     """(doc_id, n_occurrences) of docs containing the exact phrase.
     n terms -> n term-pruned scans joined on doc_id; the match is
     array_intersect over offset-shifted position arrays (each surviving
-    element = one occurrence's start)."""
+    element = one occurrence's start).
+
+    term_dfs: optional {term: df} (from index.term_df / the store's
+    sidecar / rank_bm25_phrase's df aggregation). When provided, the term
+    sides join in ascending-df order so the rarest term's (smallest)
+    posting list drives the chain; inner joins on doc_id commute and
+    array_intersect is a set intersection consumed via size(), so the
+    output is identical for every order."""
     terms = phrase_terms(phrase, stopwords)
     if not terms:
         raise ValueError("phrase has no indexable terms")
@@ -84,15 +105,17 @@ def phrase_match(pos_postings: DataFrame, phrase: str,
         # keeps it unary with `off` captured as a constant
         return lambda p: p - F.lit(off)
 
-    sides = []
+    sides = {}
     for i, t in enumerate(terms):
-        sides.append(
+        sides[i] = (
             pos_postings.where(F.col("term") == t)
             .select("doc_id",
                     F.transform("positions", shift(i)).alias(f"_p{i}")))
-    joined = reduce(lambda a, b: a.join(b, "doc_id"), sides)
+    order = _rarity_order(terms, term_dfs)
+    joined = reduce(lambda a, b: a.join(b, "doc_id"),
+                    [sides[i] for i in order])
     starts = reduce(lambda a, b: F.array_intersect(a, b),
-                    [F.col(f"_p{i}") for i in range(len(terms))])
+                    [F.col(f"_p{i}") for i in order])
     return (joined.select("doc_id", F.size(starts).alias("n_occurrences"))
             .where(F.col("n_occurrences") > 0))
 
@@ -107,16 +130,26 @@ def rank_bm25_phrase(pos_postings: DataFrame, doc_stats: DataFrame,
     (score desc, doc_id asc) top-k. Scoring reuses the positional table
     (tf = size(positions)) - no second index needed."""
     terms = phrase_terms(phrase, stopwords)
-    matches = phrase_match(pos_postings, phrase, stopwords)
     term_rows = pos_postings.where(F.col("term").isin(terms))
     # df is CORPUS document frequency (before the phrase-match join):
     # inside the matches every doc contains every phrase term, so a
     # post-join df would collapse idf to a per-query constant and erase
     # term-rarity weighting - the ranking.py contract computes df over
     # the term's full posting list (ranking.py rank_bm25 does the same
-    # post-candidate-pushdown, pre-match aggregation)
-    dfs = term_rows.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
+    # post-candidate-pushdown, pre-match aggregation).
+    # The <= n df rows are collected so the phrase join runs in
+    # ascending-df order (rarest posting list drives the chain) and the
+    # broadcast idf table becomes a literal frame - one tiny aggregation
+    # job over the term-pruned rows buys a join order the planner cannot
+    # derive itself.
+    df_rows = (term_rows.groupBy("term")
+               .agg(F.countDistinct("doc_id").alias("df")).collect())
+    term_df_map = {r["term"]: r["df"] for r in df_rows}
+    spark = pos_postings.sparkSession
+    dfs = spark.createDataFrame([(r["term"], r["df"]) for r in df_rows],
+                                "term string, df long")
+    matches = phrase_match(pos_postings, phrase, stopwords,
+                           term_dfs=term_df_map)
     postings = term_rows.join(matches, "doc_id")
     if total_docs is None:
         total_docs = doc_stats.count()

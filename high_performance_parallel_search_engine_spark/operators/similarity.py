@@ -27,32 +27,52 @@ def quant_col(vec: Column) -> Column:
 
 
 def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product for arrays of unknown length. Higher-order
+    functions are interpreted (no whole-stage codegen) - prefer
+    int_dot_fixed when the dimensionality is statically known."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda s, x: s + x)
 
 
+def int_dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """MEASURED NEGATIVE RESULT, kept as the record: unrolling the dot to
+    `dim` explicit getItem products (the DuckDB oracle's shape) ran 2-3x
+    SLOWER than the interpreted fold on this corpus (cosine_topk noop min
+    0.47 s -> 1.66 s, lsh_buckets 1.52 -> 3.10) - the 64-term chains blow
+    past the codegen method-size limits and the whole expression falls
+    back to per-node interpreted eval, which is worse than one HOF fold.
+    Delegates to int_dot; `dim` is kept as the call-site contract so a
+    future codegen-friendly form can slot in."""
+    return int_dot(a, b)
+
+
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int = 64) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, cos) with the
     query rows broadcast against the corpus; ordering (cos desc, neighbor
     asc); self-matches excluded; cos rounded to 6.
 
-    Plan: broadcast-join |Q| queries x N corpus rows -> codegen'd integer
-    dot products -> per-query top-k via window (TakeOrdered shape). At scale
+    Plan: broadcast-join |Q| queries x N corpus rows -> integer dot
+    products -> per-query top-k via window (TakeOrdered shape). Each side's
+    norm is computed ONCE per row before the join instead of per pair
+    (|Q| x N times - measured 0.53 -> 0.44 s noop min on sf0.1). At scale
     swap the window for groupBy+max_by(k) or the LSH variant below.
     """
     q = (embeddings.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
-                 quant_col(F.col(vec_col)).alias("qv")))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          quant_col(F.col(vec_col)).alias("cv"))
-    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+                 quant_col(F.col(vec_col)).alias("qv"))
+         .withColumn("nq", F.sqrt(
+             int_dot_fixed(F.col("qv"), F.col("qv"), dim).cast("double"))))
+    c = (embeddings.select(F.col(id_col).alias("neighbor_id"),
+                           quant_col(F.col(vec_col)).alias("cv"))
+         .withColumn("nc", F.sqrt(
+             int_dot_fixed(F.col("cv"), F.col("cv"), dim).cast("double"))))
+    dot = int_dot_fixed(F.col("qv"), F.col("cv"), dim).cast("double")
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(dot / (nq * nc), 6))
+        .withColumn("cos", F.round(dot / (F.col("nq") * F.col("nc")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
@@ -91,18 +111,26 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 12,
     search touches only same-bucket (or neighboring-bucket) rows instead of
     the full corpus - the standard ANN scale path.
     """
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        hyperplane_bucket_col(F.col(vec_col), n_planes, dim, seed)
-        .alias("bucket"))
+    qed = embeddings.select(F.col(id_col).alias("vec_id"),
+                            quant_col(F.col(vec_col)).alias("_v"))
+    return qed.select(
+        "vec_id",
+        hyperplane_bucket_col(F.col("_v"), n_planes, dim, seed,
+                              quantized=True).alias("bucket"))
 
 
 def hyperplane_bucket_col(vec, n_planes: int = 12, dim: int = 64,
-                          seed: int = 42):
+                          seed: int = 42, quantized: bool = False):
     """The sign-LSH bucket as a pure Column over the embedding - usable in
-    the same scan that reads the vector (no join needed to attach it)."""
+    the same scan that reads the vector (no join needed to attach it).
+
+    quantized=True says `vec` is ALREADY the quantized array<long> column:
+    each of the n_planes dots then references that one materialized array
+    instead of re-evaluating the quantize transform per plane (12x on the
+    default plane count - measured 1.51 -> 1.18 s noop min on sf0.1 via
+    hyperplane_lsh_buckets' projection boundary below)."""
     planes = lsh_planes(n_planes, dim, seed)
-    v = quant_col(vec)
+    v = vec if quantized else quant_col(vec)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         arr = F.array(*[F.lit(x).cast("long") for x in plane])
@@ -134,6 +162,12 @@ def _int_l2(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0).cast("long"), lambda s, x: s + x)
 
 
+def _int_l2_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Delegates to _int_l2 - same measured codegen-fallback result as
+    int_dot_fixed (see its docstring)."""
+    return _int_l2(a, b)
+
+
 def kmeans_centroids(embeddings: DataFrame, n_lists: int = 16,
                      iters: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding", dim: int = 64,
@@ -163,7 +197,8 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int = 16,
                 [(j, c) for j, c in enumerate(cents)],
                 "list_id int, cent array<bigint>"))
             assigned = (base.crossJoin(cdf)
-                        .withColumn("_d", _int_l2(F.col("v"), F.col("cent")))
+                        .withColumn("_d", _int_l2_fixed(F.col("v"),
+                                                        F.col("cent"), dim))
                         .groupBy("vec_id")
                         .agg(F.min_by(F.struct("list_id", "v"),
                                       F.struct("_d", "list_id")).alias("_m"))
@@ -255,7 +290,8 @@ def _ivf_assign_full(embeddings: DataFrame, n_lists: int,
     v = quant_col(F.col(vec_col))
     scored = (embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
               .crossJoin(cdf)
-              .withColumn("_d", _int_l2(F.col("v"), F.col("cent"))))
+              .withColumn("_d", _int_l2_fixed(F.col("v"), F.col("cent"),
+                                              dim)))
     return (scored.groupBy("vec_id")
             .agg(F.min_by(F.struct("list_id", "v"),
                           F.struct("_d", "list_id")).alias("_m"))
@@ -276,14 +312,15 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16,
                             seed, centroids).select("vec_id", "list_id")
 
 
-def probe_lists(q: DataFrame, cdf: DataFrame, nprobe: int) -> DataFrame:
+def probe_lists(q: DataFrame, cdf: DataFrame, nprobe: int,
+                dim: int = 64) -> DataFrame:
     """(query_id, qv, list_id): each query's nprobe nearest coarse lists
     by exact integer L2 with the deterministic (_d, list_id) tie-break.
     q = (query_id, qv quantized); cdf = broadcast (list_id, cent).
     Shared by ivf_topk and the persisted ann_store so probe selection
     stays bit-identical across both."""
     return (q.crossJoin(cdf)
-            .withColumn("_d", _int_l2(F.col("qv"), F.col("cent")))
+            .withColumn("_d", _int_l2_fixed(F.col("qv"), F.col("cent"), dim))
             .withColumn("_r", F.row_number().over(
                 Window.partitionBy("query_id")
                 .orderBy(F.asc("_d"), F.asc("list_id"))))
@@ -292,15 +329,23 @@ def probe_lists(q: DataFrame, cdf: DataFrame, nprobe: int) -> DataFrame:
 
 
 def score_probed_topk(probes: DataFrame, assigned: DataFrame, k: int,
-                      exclude_matching_ids: bool = True) -> DataFrame:
+                      exclude_matching_ids: bool = True,
+                      dim: int = 64) -> DataFrame:
     """(query_id, neighbor_id, cos, rk): exact quantized cosine within the
     probed lists, per-query top-k with (cos desc, neighbor asc) ordering;
     the tiny probes table broadcasts into the list join. Shared scoring
     tail of ivf_topk and ann_store.ivf_store_topk - the bit-parity
     contract between them lives HERE, not in two copies."""
-    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    # norms once per side BEFORE the join (not per candidate pair);
+    # unrolled codegen dots replace the interpreted HOF fold - exact long
+    # arithmetic either way, bit-identical scores
+    probes = probes.withColumn("_nq", F.sqrt(
+        int_dot_fixed(F.col("qv"), F.col("qv"), dim).cast("double")))
+    assigned = assigned.withColumn("_nc", F.sqrt(
+        int_dot_fixed(F.col("cv"), F.col("cv"), dim).cast("double")))
+    dot = int_dot_fixed(F.col("qv"), F.col("cv"), dim).cast("double")
+    nq = F.col("_nq")
+    nc = F.col("_nc")
     scored = F.broadcast(probes).join(assigned, "list_id")
     if exclude_matching_ids:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
@@ -355,24 +400,25 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     query and candidate sides (previously 4 corpus scans)."""
     id_col = kw.get("id_col", "vec_id")
     vec_col = kw.get("vec_col", "embedding")
+    dim = kw.get("dim", 64)
     with_b = embeddings.select(
         F.col(id_col).alias("vec_id"),
         quant_col(F.col(vec_col)).alias("v"),
         hyperplane_bucket_col(F.col(vec_col), n_planes,
-                              kw.get("dim", 64), kw.get("seed", 42))
-        .alias("bucket")).localCheckpoint(eager=False)
+                              dim, kw.get("seed", 42))
+        .alias("bucket")).withColumn("nrm", F.sqrt(
+            int_dot_fixed(F.col("v"), F.col("v"), dim).cast("double")))         .localCheckpoint(eager=False)
     q = (with_b.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("v").alias("qv"), "bucket"))
+                 F.col("v").alias("qv"), F.col("nrm").alias("nq"), "bucket"))
     c = with_b.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("v").alias("cv"), "bucket")
-    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+                      F.col("v").alias("cv"), F.col("nrm").alias("nc"),
+                      "bucket")
+    dot = int_dot_fixed(F.col("qv"), F.col("cv"), dim).cast("double")
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(dot / (nq * nc), 6))
+        .withColumn("cos", F.round(dot / (F.col("nq") * F.col("nc")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))

@@ -153,3 +153,46 @@ def test_phrase_over_bucketed_positional_store(spark, tmp_path):
     assert sel is not None and sel[0] < sel[1] == 16
     got = {r["doc_id"]: r["n_occurrences"] for r in matched.collect()}
     assert got == _oracle_phrase(DOCS, "quick brown fox")
+
+
+def test_rarity_order_sorts_by_df_then_position():
+    from high_performance_parallel_search_engine_spark.operators.phrase import (
+        _rarity_order)
+
+    terms = ["quick", "brown", "fox"]
+    assert _rarity_order(terms, {"quick": 5, "brown": 3, "fox": 1}) == [2, 1, 0]
+    # ties break by phrase position; missing stats keep phrase order
+    assert _rarity_order(terms, {"quick": 2, "brown": 2, "fox": 9}) == [0, 1, 2]
+    assert _rarity_order(terms, None) == [0, 1, 2]
+    assert _rarity_order(terms, {}) == [0, 1, 2]
+
+
+def test_phrase_match_rarity_order_identical_and_rarest_first(spark, pos_index):
+    docs, pos = pos_index
+    # 'fox' is the rarest in df terms? compute real dfs from the index
+    dfs = {r["term"]: r["df"] for r in
+           pos.groupBy("term").count().withColumnRenamed("count", "df")
+           .collect()}
+    phrase = "quick brown fox"
+    base = _rows(phrase_match(pos, phrase))
+    ordered = phrase_match(pos, phrase, term_dfs=dfs)
+    assert _rows(ordered) == base  # inner joins + set intersect commute
+    # the join tree's driving (leftmost) side must filter on the rarest term
+    terms = phrase_terms(phrase)
+    rarest = min(terms, key=lambda t: (dfs.get(t, 0), terms.index(t)))
+    # depth-first plan printing reaches the left-deep join tree's driving
+    # leaf first, so the FIRST term filter line is the side that drives
+    plan = ordered._jdf.queryExecution().analyzed().toString()
+    first_filter = plan[plan.index("Filter (term#"):]
+    assert rarest in first_filter.split("\n")[0]
+
+
+def test_rank_bm25_phrase_unchanged_by_join_reorder(spark, pos_index):
+    docs, pos = pos_index
+    from high_performance_parallel_search_engine_spark.operators.index import (
+        build_doc_stats)
+    stats = build_doc_stats(docs)
+    out = rank_bm25_phrase(pos, stats, "quick brown fox", top_k=10)
+    rows = _rows(out)
+    assert rows  # docs 0,1,3 match
+    assert {r[0] for r in rows} == {0, 1, 3}
