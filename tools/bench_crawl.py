@@ -10,6 +10,7 @@ Prints one JSON line with the run stats.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -19,6 +20,8 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    global T0
+    T0 = time.monotonic()
     threads = int(sys.argv[1])
     corpus_path = sys.argv[2]
     n_hosts = int(sys.argv[3])
@@ -48,6 +51,9 @@ def main() -> None:
         write_bucketed_pages as _wbp,
     )
 
+    t_sess = time.monotonic()
+    print(f"[bench_crawl] session up {t_sess - T0:.1f}s", file=sys.stderr)
+
     try:
         pages, n_buckets = read_bucketed_pages(spark, corpus_path)
     except FileNotFoundError:
@@ -57,30 +63,54 @@ def main() -> None:
     # BEFORE the clock starts, with the SAME bucket count as the timed
     # corpus (a 16-bucket warmup against a 64-bucket timed run left the
     # timed round 1 paying fresh codegen/plan-cache fills - part of the
-    # small-round fixed floor the r4 verdict's scaling task chases). The
-    # 2x300-page tree additionally pushes one frontier past the prune/
-    # pushdown gates (~800 urls > 4*B and > url_pushdown_max), so the
-    # full-scan round shape the timed rounds 3+ hit is compiled too.
+    # small-round fixed floor the r4 verdict's scaling task chases).
+    # TWO rounds compile every plan shape the timed run hits: 40 seeds
+    # (<= 512 and <= 4x buckets) make round 0 the bucket-pruned/pushdown
+    # shape, its ~720-url child frontier pushes round 1 past both gates
+    # into the full-scan shape, and round 1 is also the final-round
+    # (depth-cutoff short-circuit) shape. The former depth-4 warmup spent
+    # 15.2 s here re-crawling the same 600 pages over 4 rounds for no
+    # additional compiled shape - untimed but real bench wall.
+    # The 600-page warm corpus is deterministic harness scaffolding (synth
+    # seed 42, fixed shape), NOT a measured artifact or anything derived
+    # from the timed inputs - so the bench's ~14 sequential subprocesses
+    # share one copy at a versioned path instead of each paying the ~5 s
+    # bucketed write. Built under a unique temp dir, atomically renamed in;
+    # a lost race just falls back to the existing copy.
     wb = n_buckets or 16
-    tiny = build_corpus_df(spark, n_hosts=2, pages_per_host=300, n_medium=0,
-                           with_oracle_text=False, link_mode="tree")
-    tp = tempfile.mkdtemp(prefix="warm_")
-    _wbp(tiny.select("url", "warc_ts", "html", "lang"), tp + "/p",
-         n_buckets=wb)
+    warm_root = os.path.join(tempfile.gettempdir(),
+                             f"warm_corpus_v1_b{wb}")
+    if not os.path.isdir(os.path.join(warm_root, "p")):
+        tiny = build_corpus_df(spark, n_hosts=2, pages_per_host=300,
+                               n_medium=0, with_oracle_text=False,
+                               link_mode="tree")
+        tp = tempfile.mkdtemp(prefix="warm_")
+        _wbp(tiny.select("url", "warc_ts", "html", "lang"), tp + "/p",
+             n_buckets=wb)
+        try:
+            os.rename(tp, warm_root)
+        except OSError:
+            shutil.rmtree(tp, ignore_errors=True)  # lost the race: reuse
+    print(f"[bench_crawl] warm corpus ready {time.monotonic() - T0:.1f}s",
+          file=sys.stderr)
     wwd = tempfile.mkdtemp(prefix="warm_wd_")
-    warm_pages, _ = read_bucketed_pages(spark, tp + "/p")
-    run_crawl(spark, warm_pages, [page_url(0, 0), page_url(1, 0)], wwd,
-              CrawlConfig(max_depth=depth, max_pages=1 << 40,
+    warm_pages, _ = read_bucketed_pages(spark, warm_root + "/p")
+    warm_seeds = [page_url(h, p) for h in range(2) for p in range(20)]
+    run_crawl(spark, warm_pages, warm_seeds, wwd,
+              CrawlConfig(max_depth=2, max_pages=1 << 40,
                           failure_stop=1 << 40, arbitration="scale",
-                          max_rounds=depth + 1, trace=False,
+                          max_rounds=2, trace=False,
                           pages_buckets=wb))
-    shutil.rmtree(tp, ignore_errors=True)
     shutil.rmtree(wwd, ignore_errors=True)
+    print(f"[bench_crawl] warmup done {time.monotonic() - T0:.1f}s",
+          file=sys.stderr)
 
     # warm the page cache + parquet footers so the timed run measures the
     # engine, not cold disk
     from pyspark.sql import functions as F
     pages.select(F.sum(F.length("html"))).collect()
+    print(f"[bench_crawl] cache warm done {time.monotonic() - T0:.1f}s",
+          file=sys.stderr)
     seeds = [page_url(h, 0) for h in range(n_hosts)]
     workdir = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(max_depth=depth, max_pages=1 << 40,
