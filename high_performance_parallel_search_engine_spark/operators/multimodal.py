@@ -59,8 +59,12 @@ def synth_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Deterministic fake media table derived from the documents table
     (payload = utf-8 bytes of the text; metadata derived from lengths) -
-    exercises binary columns without external data."""
-    return docs.select(
+    exercises binary columns without external data. The slim
+    (id, text) projection is spread by media_id BEFORE the payload bytes
+    are encoded - consumers then run their per-row decode without
+    reshuffling payloads."""
+    return docs.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col)).select(
         F.col(id_col).alias("media_id"),
         F.when(F.col(id_col) % 3 == 0, "image")
         .when(F.col(id_col) % 3 == 1, "audio").otherwise("video").alias("kind"),
@@ -450,8 +454,7 @@ def extract_features(media: DataFrame, fake: bool = True,
                      batch_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction: iterator-of-batches keeps memory
     bounded regardless of payload sizes (the Arrow batch size is tuned by
-    spark.sql.execution.arrow.maxRecordsPerBatch; media rows are fat, so the
-    pipeline repartitions by media_id first to spread decode cost evenly)."""
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
@@ -471,8 +474,9 @@ def extract_features(media: DataFrame, fake: bool = True,
             }
             yield pd.DataFrame(out)
 
-    spread = media.repartition("media_id")
-    return spread.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # layout is the caller's: the synth builders spread the slim rows
+    # before payload construction, so no payload-byte shuffle happens here
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 REAL_DECODE_SCHEMA = StructType([
@@ -517,7 +521,14 @@ def synth_real_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
                 out.append(make_png(2 + i % 5, 2 + i % 7, i % 241))
         return pd.Series(out)
 
-    base = docs.select(F.col(id_col).alias("media_id"))
+    # the id spine is repartitioned BEFORE payload construction: the
+    # consumers' former repartition("media_id") shuffled the already-built
+    # container BYTES to spread decode work; spreading the 8-byte ids and
+    # building payloads post-exchange moves the same work with none of the
+    # payload bytes crossing the wire (guide §8: decide/spread with small
+    # rows, build heavy bytes where they are consumed)
+    base = docs.select(F.col(id_col).alias("media_id")) \
+        .repartition("media_id")
     m = F.col("media_id") % mod
     kind = (F.when(m == 0, "image").when(m == 1, "audio")
             .when(m == 2, "video").otherwise("image"))
@@ -567,8 +578,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 rows["payload_sum"].append(psum)
             yield pd.DataFrame(rows)
 
-    return media.repartition("media_id").mapInPandas(
-        run, schema=REAL_DECODE_SCHEMA)
+    return media.mapInPandas(run, schema=REAL_DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType([
@@ -660,7 +670,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 "width": width, "height": height,
             })
 
-    return media.repartition("media_id").mapInPandas(run, schema=RESIZE_SCHEMA)
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
@@ -710,7 +720,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     out["frame"].append(b[k % len(b):][:32] or b"\0")
             yield pd.DataFrame(out)
 
-    return media.repartition("media_id").mapInPandas(run, schema=FRAME_SCHEMA)
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 ROLLING_FP_SCHEMA = StructType([
