@@ -137,7 +137,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     mh_j = min((A_j*h + B_j) mod P) with seeded per-j constants - proper
     independent universal-hash permutations at 1/12th the hashing cost of
     the naive per-j salted-md5 form (hashing dominates the signature
-    stage at corpus scale)."""
+    stage at corpus scale).
+
+    NEGATIVE RESULT (r6, recorded so nobody retries it): a zero-shuffle
+    per-row form - materialize the shingle-hash array behind projection
+    boundaries, then mh_j = array_min(transform(_hs, h -> (A_j*h+B_j)%P))
+    - measured 4x SLOWER at sf0.1 (minhash_lsh_pairs 1.06 -> 4.38 s,
+    dedup_components 1.49 -> 5.25 s) despite removing the exchange. Two
+    reasons, visible in its optimized plan: higher-order array functions
+    evaluate INTERPRETED (lambdafunction blocks whole-stage codegen and
+    allocates a fresh array per transform - ~16 allocations/row), and the
+    size(_shs) > 0 row filter is pushed below the projections where it
+    re-inlines the whole tokenize+shingle pipeline a second time. The
+    explode + partial-aggregation shape keeps every expression in codegen
+    and its exchange carries only one pre-aggregated row per
+    (doc, partition) - the same lesson as similarity.py's unrolled
+    getItem dot."""
     sh = doc_shingles(docs, id_col, text_col)
     hashed = sh.select("doc_id", phash32_col(F.col("shingle")).alias("h"))
     aggs = [
@@ -375,10 +390,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # action materializes the edge blocks as a side effect (reused by every
     # later iteration's join) - the former eager edge/label checkpoints
     # cost two extra driver-synchronized jobs before any propagation ran.
+    # No .distinct(): every pair family emits unique (doc_a < doc_b) rows
+    # (groupBy outputs), so the two symmetric halves are disjoint and the
+    # union is already duplicate-free - the former distinct was a full
+    # extra exchange + dedup that removed nothing. Duplicate edges from an
+    # external caller would only repeat min() inputs (same labels, some
+    # wasted join work), never change the result.
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .unionByName(pairs.select(F.col(dst).alias("a"),
                                        F.col(src).alias("b")))
-             .distinct().localCheckpoint(eager=False))
+             .localCheckpoint(eager=False))
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("label"))
     prev_sum = None

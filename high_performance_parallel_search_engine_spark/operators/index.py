@@ -100,20 +100,33 @@ def merge_postings(old_postings: DataFrame, delta_docs: DataFrame,
     Verified by the postings_incremental gate: merge over a round-split
     corpus value-hashes equal to a full rebuild over the union."""
     delta = build_postings(delta_docs, **kw)
+    # no .distinct() on the key set: left_anti semantics are unchanged by
+    # duplicate build-side rows (existence is existence), so the distinct
+    # bought nothing but an extra exchange before the broadcast; a delta
+    # is one row per re-crawled doc anyway
     changed = delta_docs.select(
-        F.col(kw.get("id_col", "doc_id")).alias("doc_id")).distinct()
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"))
     kept = old_postings.join(changed, "doc_id", "left_anti")
     return kept.unionByName(delta.select(*kept.columns))
 
 
 def corpus_stats(docs: DataFrame, **kw) -> DataFrame:
-    """One row: total_tokens, unique_terms, total_docs, avg_dl."""
-    toks = doc_tokens(docs, **kw)
-    return toks.agg(
-        F.count("*").alias("total_tokens"),
+    """One row: total_tokens, unique_terms, total_docs, avg_dl.
+
+    Two distinct aggregates in one agg make Spark Expand every input row
+    once per distinct group (3x the token stream through the exchange).
+    Pre-aggregating to (term, doc_id, tf) first - a partial-aggregated
+    shuffle that collapses each partition to its unique pairs - leaves the
+    Expand running over |postings| rows instead of |tokens|. Values are
+    identical: sum(tf) == count of kept tokens (exact long arithmetic),
+    and the distinct counts are over the same key sets."""
+    g = doc_tokens(docs, **kw).groupBy("term", "doc_id") \
+        .agg(F.count("*").alias("tf"))
+    return g.agg(
+        F.sum("tf").alias("total_tokens"),
         F.countDistinct("term").alias("unique_terms"),
         F.countDistinct("doc_id").alias("total_docs"),
-        (F.count("*") / F.countDistinct("doc_id")).alias("avg_dl"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avg_dl"),
     )
 
 
@@ -126,8 +139,11 @@ def avg_doc_len(stats: DataFrame, total: int) -> float:
 
 
 def term_df(postings: DataFrame) -> DataFrame:
-    """(term, df) document frequency (ranking.c:54)."""
-    return postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    """(term, df) document frequency (ranking.c:54). df = count(*): a
+    postings table is unique per (term, doc_id) by construction (the
+    groupBy(term, doc_id) output schema), so count equals the distinct
+    doc count without the distinct-aggregate's Expand + extra exchange."""
+    return postings.groupBy("term").agg(F.count("*").alias("df"))
 
 
 # vocabulary cap for the driver-side {term: df} map: ~2M terms is tens of

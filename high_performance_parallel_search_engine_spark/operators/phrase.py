@@ -142,8 +142,10 @@ def rank_bm25_phrase(pos_postings: DataFrame, doc_stats: DataFrame,
     # broadcast idf table becomes a literal frame - one tiny aggregation
     # job over the term-pruned rows buys a join order the planner cannot
     # derive itself.
+    # count(*) == countDistinct(doc_id): positional postings are unique per
+    # (term, doc_id) - positions are aggregated into one array per doc
     df_rows = (term_rows.groupBy("term")
-               .agg(F.countDistinct("doc_id").alias("df")).collect())
+               .agg(F.count("*").alias("df")).collect())
     term_df_map = {r["term"]: r["df"] for r in df_rows}
     spark = pos_postings.sparkSession
     dfs = spark.createDataFrame([(r["term"], r["df"]) for r in df_rows],

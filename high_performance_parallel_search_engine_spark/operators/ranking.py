@@ -247,10 +247,13 @@ def rank_bm25(postings: DataFrame, doc_stats: DataFrame, query: str,
         # join prunes the scan, the aggregate output is <= |cands| rows.
         # Grouping carries qpos so the same index term selected by two
         # query occurrences scores twice (ranking.c keeps duplicate query
-        # terms).
+        # terms). df = count(*), not countDistinct(doc_id): a postings
+        # table is unique per (term, doc_id) by construction (it is a
+        # groupBy(term, doc_id) output), so the values are identical and
+        # the distinct-aggregate Expand + second exchange are skipped.
         df_tbl = (postings.join(F.broadcast(cdf), "term")
                   .groupBy("qpos", "pref", "term")
-                  .agg(F.countDistinct("doc_id").alias("df")))
+                  .agg(F.count("*").alias("df")))
     if fallback:
         # Per query position keep the best-preference candidate that
         # exists in the index (primary beats retry, as in the C's
@@ -384,9 +387,11 @@ def rank_bm25_batch(postings: DataFrame, doc_stats: DataFrame,
         df_tbl = (df_table.join(F.broadcast(cdf), "term")
                   .select("query_id", "qpos", "term", "df", "pref"))
     else:
+        # count(*) == countDistinct(doc_id) on a postings table (unique per
+        # (term, doc_id)); see rank_bm25's cold-path note
         df_tbl = (postings.join(F.broadcast(cdf), "term")
                   .groupBy("query_id", "qpos", "term", "pref")
-                  .agg(F.countDistinct("doc_id").alias("df")))
+                  .agg(F.count("*").alias("df")))
     if fallback:
         # per (query, position) keep the best-preference candidate present
         # in the index (primary beats retry - the C's early break)

@@ -563,3 +563,48 @@ def test_merge_postings_replaces_recrawled_docs(spark):
     full = {(r["term"], r["doc_id"]): r["tf"]
             for r in build_postings(current).collect()}
     assert merged == full
+
+
+# --- round-6 optimization internals: result-parity of the cheaper forms ----
+
+
+def test_term_df_count_equals_distinct_count(spark):
+    """r6: term_df computes df as count(*) over the unique-(term, doc_id)
+    postings table; it must equal the literal countDistinct form."""
+    from high_performance_parallel_search_engine_spark.operators.index import (
+        build_postings,
+        term_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join window spark"), (2, "join join stream"),
+         (3, "window"), (4, "spark stream stream")],
+        "doc_id long, text string")
+    postings = build_postings(docs)
+    got = {(r["term"], r["df"]) for r in term_df(postings).collect()}
+    want = {(r["term"], r["df"]) for r in
+            postings.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df")).collect()}
+    assert got == want and got
+
+
+def test_connected_components_duplicate_edges_identical(spark):
+    """r6: connected_components dropped the edge .distinct() (pair families
+    emit unique doc_a < doc_b rows). Duplicated edges from an external
+    caller must still produce identical components."""
+    from high_performance_parallel_search_engine_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    dup_pairs = pairs.unionByName(pairs).unionByName(pairs)
+    base = {(r["doc_id"], r["component"], r["keep"])
+            for r in connected_components(pairs, nodes).collect()}
+    dup = {(r["doc_id"], r["component"], r["keep"])
+           for r in connected_components(dup_pairs, nodes).collect()}
+    assert base == dup
+    assert (1, 1, True) in base and (2, 1, False) in base \
+        and (3, 1, False) in base and (4, 4, True) in base \
+        and (5, 5, True) in base and (6, 5, False) in base
