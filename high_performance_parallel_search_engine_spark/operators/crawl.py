@@ -248,7 +248,10 @@ def _read_url_seen(spark: SparkSession, workdir: str, upto_round: int) -> DataFr
     paths = [str(_round_dir(workdir, r) / "url_seen_delta.parquet")
              for r in range(-1, upto_round)]
     paths = [p for p in paths if Path(p).exists()]
-    return spark.read.parquet(*paths)
+    # explicit schema: every delta is written as a single `url` column
+    # (init_crawl and both round writers); skipping footer inference
+    # removes one driver-synchronized 1-task job from every round
+    return spark.read.schema("url string").parquet(*paths)
 
 
 def _budgets_df(spark: SparkSession, config: CrawlConfig) -> DataFrame | None:
@@ -525,7 +528,9 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
     rnd = state.round
     d = _round_dir(workdir, rnd)
     d.mkdir(parents=True, exist_ok=True)
-    frontier = spark.read.parquet(
+    # explicit schema (frontier files are always FRONTIER_SCHEMA): no
+    # footer-inference job at the top of the round
+    frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
     pages, scan_bounded, k_files = _prune_and_pushdown(pages, frontier,
                                                       config, state)
@@ -566,7 +571,10 @@ def run_round_fast(spark: SparkSession, pages: DataFrame, workdir: str,
         "host", "text", "links", "base_domain", "warc_ts", "lang",
         "lineage_partition")
     pages_out.write.mode("overwrite").parquet(str(d / "pages.parquet"))
-    stored = spark.read.parquet(str(d / "pages.parquet"))
+    # re-read with the schema we just wrote (exact by construction):
+    # skips the footer-inference job between the write and the arbitrate
+    stored = spark.read.schema(pages_out.schema).parquet(
+        str(d / "pages.parquet"))
     _mark("extract_write")
 
     # Final-round short-circuit: without politeness deferrals, round r holds
@@ -660,7 +668,8 @@ def run_round(spark: SparkSession, pages: DataFrame, workdir: str,
     rnd = state.round
     d = _round_dir(workdir, rnd)
     d.mkdir(parents=True, exist_ok=True)
-    frontier = spark.read.parquet(
+    # explicit schema: see run_round_fast's frontier-read note
+    frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
         str(_round_dir(workdir, rnd - 1) / "frontier_next.parquet"))
     pages, scan_bounded, k_files = _prune_and_pushdown(pages, frontier,
                                                       config, state)
