@@ -240,7 +240,17 @@ def html_to_text(html: bytes) -> bytes:
                         buf.extend(b" ")  # WS-only segment -> one space
                     i = stop
                     continue
-                # at '<' or '&': authoritative per-char logic below
+                if i == a:
+                    # at '&' with room in the buffer: the per-char path
+                    # would cross the whole dispatch ladder just to reach
+                    # the same decode - handle it inline (semantics
+                    # identical: decode, append when emitted, i += 1)
+                    emitted, i = _decode_entity(h, i, html_len)
+                    if emitted is not None:
+                        buf.extend(emitted)
+                    i += 1
+                    continue
+                # at '<': authoritative per-char logic below
         else:
             # flowing text: same two stop bytes; the collapsed segment goes
             # to the output with consecutive_spaces carrying the boundary
@@ -271,7 +281,19 @@ def html_to_text(html: bytes) -> bytes:
                     consecutive_spaces = 1
                 i = stop
                 continue
-            # at '<' or '&': authoritative per-char logic below
+            if i == a:
+                # at '&' in flowing text: inline the per-char entity
+                # branch (decode, emit when produced, content_written is
+                # set even for a swallowed unknown entity - the C marks
+                # the character handled either way - then i += 1)
+                emitted, i = _decode_entity(h, i, html_len)
+                if emitted is not None:
+                    out.extend(emitted)
+                consecutive_spaces = 0
+                content_written = True
+                i += 1
+                continue
+            # at '<': authoritative per-char logic below
 
         c = h[i]
         # ---- comments (crawler.c:180-192). The "<!--" probe is gated on
