@@ -36,6 +36,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # align the oracle-side sf dir with the one under check BEFORE the
+    # registry imports: ivf_topk_trained's oracle trains its centroid
+    # literals from ORACLE_SF_DIR, and a mismatch (e.g. checking sf0.001
+    # with the sf0.01 default) fails the gate spuriously - the Spark and
+    # DuckDB sides must train on the SAME embeddings
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     import duckdb
 
     import __spark_entry__ as entrymod
