@@ -94,6 +94,10 @@ def is_useful_content(text: bytes, length: int) -> bool:
     double literals - at exact boundaries like 10/200 the float rounds UP
     past 0.05 and passes; double math would fail. np.float32 reproduces it
     (memoized in _useful_verdict - same inputs, same quirk, same answer).
+
+    Accepts bytes OR bytearray: only the first 200 bytes are sliced and
+    classified, so callers holding a (up to 10 KB) paragraph bytearray
+    pass it directly instead of copying the whole buffer for the gate.
     """
     if length < 10:
         return False
@@ -385,7 +389,11 @@ def html_to_text(html: bytes) -> bytes:
                     in_paragraph = False
                     i += 4
                     if buf:
-                        if is_useful_content(bytes(buf), len(buf)):
+                        # gate on the bytearray itself (only the first 200
+                        # bytes are read): no whole-buffer copy for
+                        # REJECTED paragraphs, one copy instead of two for
+                        # kept ones
+                        if is_useful_content(buf, len(buf)):
                             emit(bytes(buf) + b"\n\n")
                     buf.clear()
                     continue
